@@ -1,0 +1,75 @@
+"""Business-key and hash-diff computation.
+
+Semantics are the reference's HashKeyGenerator
+(/root/reference/src/main/scala/bronze/utils/HashKeyGenerator.scala:136-149
+hash key, :211-221 diff hash, rationale :98-109):
+
+    md5( concat_ws("~",
+         coalesce(upper(trim(cast(col as string))), "~NULL~"), ...) )
+
+- NULL columns hash as the sentinel ``~NULL~`` (so NULL != empty string),
+- values are upper-cased and trimmed (case/whitespace-insensitive keys),
+- columns are joined with ``~``,
+- output is lowercase 32-char MD5 hex.
+
+Two implementations, bit-identical (unit-tested against each other):
+
+- :func:`hash_expr` — native Column expression (JVM, whole-stage codegen).
+- :func:`hash_expr_udf` — the normalization stays native, the MD5 digest
+  runs in a vectorized Arrow pandas UDF (BASELINE.json north_star mandates
+  pandas/Arrow UDFs for the hash computation; no per-row Python UDFs).
+
+Link hash keys follow RawVaultETL.scala:477-490: MD5 over the
+concatenation of the parent hash keys (joined with ``~`` like any other
+multi-column key).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+NULL_SENTINEL = "~NULL~"
+DELIMITER = "~"
+
+
+def _normalized(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.upper(F.trim(c.cast("string"))), F.lit(NULL_SENTINEL))
+
+
+def normalized_concat(*cols: Column | str) -> Column:
+    """The pre-digest normalized key string (exposed for testing)."""
+    return F.concat_ws(DELIMITER, *[_normalized(c) for c in cols])
+
+
+def hash_expr(*cols: Column | str) -> Column:
+    """Native-expression MD5 business-key / diff hash (codegen fast path)."""
+    return F.md5(normalized_concat(*cols))
+
+
+@F.pandas_udf(StringType())
+def md5_udf(s: pd.Series) -> pd.Series:
+    """Vectorized MD5 hex digest over an Arrow batch of strings."""
+    return s.map(
+        lambda x: None if x is None else hashlib.md5(x.encode("utf-8")).hexdigest()
+    )
+
+
+def hash_expr_udf(*cols: Column | str) -> Column:
+    """pandas-UDF MD5 over the same normalized concat (bit-identical to
+    :func:`hash_expr`; Arrow-vectorized, never row-at-a-time Python)."""
+    return md5_udf(normalized_concat(*cols))
+
+
+def hash_sql(*cols: str) -> str:
+    """ANSI-SQL equivalent (DuckDB-compatible) of :func:`hash_expr`,
+    used by the oracle queries in __spark_entry__.py."""
+    parts = ", ".join(
+        f"coalesce(upper(trim(cast({c} as varchar))), '{NULL_SENTINEL}')" for c in cols
+    )
+    return f"md5(concat_ws('{DELIMITER}', {parts}))"
