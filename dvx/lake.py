@@ -1,0 +1,451 @@
+"""dvx.lake — a minimal snapshot-based ACID table format over Parquet.
+
+The reference stores its vault in Iceberg and leans on four Iceberg
+capabilities (SURVEY.md §2.1, §2.9): atomic snapshot commits with a
+metadata pointer, row-level MERGE, partition pruning, and snapshot
+maintenance (time travel / rollback / expiry / compaction —
+/root/reference/src/main/scala/bronze/utils/IcebergWriter.scala:34-39,
+248-263, 295-376, 396-426). The Iceberg Spark runtime jar is not
+available in this environment, so this module re-implements exactly that
+contract in pure PySpark + a JSON transaction log:
+
+Layout::
+
+    <root>/_log/v0000000001.json      one manifest per snapshot
+    <root>/data/c0000000002/_p=<k>/*.parquet   data files of commit 2
+
+A snapshot manifest carries the full file map ``{partition_key: [relative
+file paths]}`` plus the table schema and a summary (including the
+per-stream max committed epoch — the exactly-once handshake used by
+dvx.stream). The *latest* snapshot is simply the max version in ``_log``;
+commits are atomic via ``os.link`` (fails if the target version already
+exists → optimistic-concurrency retry), mirroring Iceberg's atomic
+metadata-pointer swap which is likewise driver-side.
+
+Scale design
+------------
+- Tables are hash-bucketed on their merge key (``bucket =
+  pmod(xxhash64(key), B)``). A MERGE only reads + rewrites the buckets
+  the source batch touches (copy-on-write), so merge cost is
+  O(touched data), not O(table) — the same file-level pruning Iceberg's
+  ``bucket(N, key)`` hidden partitioning gives the reference
+  (RawVaultSchema.scala:124). At 10^10 rows you raise ``num_buckets``
+  (e.g. 4096) so each bucket stays ~executor-memory sized.
+- File pruning happens in *metadata* (the manifest), so a point lookup
+  or a merge never lists directories or scans untouched buckets.
+- Commits are metadata-only; carried-over buckets are never rewritten.
+- The physical partition value is duplicated into a regular data column
+  before write, so explicit-file-list reads keep it without relying on
+  directory-name inference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_PHYS = "_p"  # physical layout column (dropped from data files by partitionBy)
+BUCKET_COL = "_bucket"
+
+__all__ = ["LakeTable", "BUCKET_COL", "CommitConflict"]
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic CC)."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, "_log")
+
+
+class LakeTable:
+    """Handle to one lake table. Cheap to construct; all state is on disk."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------------ DDL
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        d = _log_dir(root)
+        return os.path.isdir(d) and any(f.startswith("v") for f in os.listdir(d))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: StructType,
+        *,
+        num_buckets: int | None = None,
+        bucket_cols: list[str] | None = None,
+        partition_col: str | None = None,
+        properties: dict | None = None,
+        if_not_exists: bool = True,
+    ) -> "LakeTable":
+        """Idempotent CREATE TABLE (reference: CREATE TABLE IF NOT EXISTS ...
+        USING iceberg PARTITIONED BY (...), RawVaultSchema.scala:116-131)."""
+        if cls.exists(root):
+            if if_not_exists:
+                return cls(spark, root)
+            raise FileExistsError(root)
+        if (num_buckets is None) != (bucket_cols is None):
+            raise ValueError("num_buckets and bucket_cols go together")
+        os.makedirs(_log_dir(root), exist_ok=True)
+        t = cls(spark, root)
+        t._commit(
+            expected_version=0,
+            manifest={
+                "operation": "create",
+                "schema": json.loads(schema.json()),
+                "num_buckets": num_buckets,
+                "bucket_cols": bucket_cols,
+                "partition_col": partition_col,
+                "properties": properties or {},
+                "files": {},
+                "summary": {"epochs": {}},
+            },
+        )
+        return t
+
+    # ------------------------------------------------------------- snapshots
+
+    def _versions(self) -> list[int]:
+        d = _log_dir(self.root)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        )
+
+    def version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no such lake table: {self.root}")
+        return vs[-1]
+
+    def snapshot(self, version: int | None = None) -> dict:
+        """Manifest at ``version`` (latest if None) — Iceberg time travel
+        ``VERSION AS OF`` analog (IcebergWriter.scala:248-250)."""
+        v = self.version() if version is None else version
+        with open(os.path.join(_log_dir(self.root), f"v{v:010d}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """All snapshot summaries, oldest first (``table.snapshots`` analog,
+        IcebergWriter.scala:252-263)."""
+        out = []
+        for v in self._versions():
+            m = self.snapshot(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": m["operation"],
+                    "committed_at": m.get("committed_at"),
+                    "summary": m.get("summary", {}),
+                }
+            )
+        return out
+
+    def schema(self, version: int | None = None) -> StructType:
+        return StructType.fromJson(self.snapshot(version)["schema"])
+
+    # --------------------------------------------------------------- commit
+
+    def _commit(self, expected_version: int, manifest: dict) -> int:
+        next_v = expected_version + 1
+        manifest = dict(manifest)
+        manifest["version"] = next_v
+        manifest["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        d = _log_dir(self.root)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(d, f"v{next_v:010d}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # atomic, fails with EEXIST on conflict
+        except FileExistsError as e:
+            raise CommitConflict(f"version {next_v} already committed") from e
+        finally:
+            os.unlink(tmp)
+        return next_v
+
+    # ---------------------------------------------------------------- reads
+
+    def read(
+        self,
+        version: int | None = None,
+        *,
+        buckets: list[int] | None = None,
+        partitions: list[str] | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot, with manifest-level file pruning.
+
+        ``buckets``/``partitions`` restrict to those partition keys without
+        touching any other file (metadata pruning — no directory listing).
+        Schema is imposed explicitly so files written before an additive
+        column evolution null-fill the new columns (AvroReader.scala:283-313
+        schema-merge semantics).
+        """
+        m = self.snapshot(version)
+        schema = StructType.fromJson(m["schema"])
+        keys = m["files"].keys()
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            keys = [k for k in keys if k in want]
+        if partitions is not None:
+            want = set(map(str, partitions))
+            keys = [k for k in keys if k in want]
+        files = [os.path.join(self.root, p) for k in keys for p in m["files"][k]]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    # --------------------------------------------------------------- writes
+
+    def _bucket_expr(self, num_buckets: int, bucket_cols: list[str]):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(num_buckets)).cast(
+            "int"
+        )
+
+    def with_bucket(self, df: DataFrame) -> DataFrame:
+        m = self.snapshot()
+        if m["num_buckets"] is None:
+            raise ValueError("table is not bucketed")
+        if BUCKET_COL in df.columns:
+            return df
+        return df.withColumn(BUCKET_COL, self._bucket_expr(m["num_buckets"], m["bucket_cols"]))
+
+    def _write_files(self, df: DataFrame, manifest: dict, next_v: int) -> dict[str, list[str]]:
+        """Write df physically split by partition key; return {key: [relpaths]}."""
+        commit_rel = os.path.join("data", f"c{next_v:010d}")
+        commit_dir = os.path.join(self.root, commit_rel)
+        if manifest["num_buckets"] is not None:
+            if BUCKET_COL not in df.columns:
+                df = df.withColumn(
+                    BUCKET_COL, self._bucket_expr(manifest["num_buckets"], manifest["bucket_cols"])
+                )
+            df = df.withColumn(_PHYS, F.col(BUCKET_COL).cast("string"))
+        elif manifest["partition_col"]:
+            df = df.withColumn(_PHYS, F.col(manifest["partition_col"]).cast("string"))
+        else:
+            df = df.withColumn(_PHYS, F.lit(""))
+        df.write.mode("overwrite").partitionBy(_PHYS).parquet(commit_dir)
+
+        out: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(commit_dir)):
+            if not entry.startswith(f"{_PHYS}="):
+                continue
+            key = entry.split("=", 1)[1]
+            pdir = os.path.join(commit_dir, entry)
+            rels = [
+                os.path.join(commit_rel, entry, fn)
+                for fn in sorted(os.listdir(pdir))
+                if fn.endswith(".parquet")
+            ]
+            if rels:
+                out[key] = rels
+        return out
+
+    def _schema_aligned(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Project df onto the table schema (order + types), erroring on
+        missing required columns — the schema-validation gate
+        (AvroReader.scala:212-261)."""
+        schema = StructType.fromJson(manifest["schema"])
+        missing = [f.name for f in schema.fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(f"batch is missing required columns {missing}")
+        keep_bucket = manifest["num_buckets"] is not None and BUCKET_COL in df.columns
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        if keep_bucket and BUCKET_COL not in [f.name for f in schema.fields]:
+            cols.append(F.col(BUCKET_COL))
+        return df.select(*cols)
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Append-only insert (Iceberg append sink, IcebergWriter.scala:86-121)."""
+        while True:
+            v = self.version()
+            m = self.snapshot(v)
+            new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
+            files = {k: list(ps) for k, ps in m["files"].items()}
+            for k, ps in new_files.items():
+                files.setdefault(k, []).extend(ps)
+            try:
+                return self._commit_next(m, v, "append", files, new_files, summary)
+            except CommitConflict:
+                continue
+
+    def overwrite_partitions(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Dynamic partition overwrite — replace only the partition values
+        present in df (IcebergWriter.scala:209-231; used by bridge refresh
+        and SCD1 dims)."""
+        while True:
+            v = self.version()
+            m = self.snapshot(v)
+            if not m["partition_col"] and m["num_buckets"] is None:
+                # unpartitioned: full overwrite
+                new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
+                files = dict(new_files)
+            else:
+                new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
+                files = {k: ps for k, ps in m["files"].items() if k not in new_files}
+                files.update(new_files)
+            try:
+                return self._commit_next(m, v, "overwrite_partitions", files, new_files, summary)
+            except CommitConflict:
+                continue
+
+    def merge(self, source: DataFrame, merge_fn, summary: dict | None = None) -> int:
+        """Copy-on-write MERGE on a bucketed table — the engine's single
+        upsert primitive (replaces Iceberg ``MERGE INTO``, SURVEY.md §2.9).
+
+        ``merge_fn(current, source) -> DataFrame`` receives the *current
+        rows of only the touched buckets* and the bucketed source batch,
+        and returns the full replacement contents for those buckets.
+        Untouched buckets are carried over as pure metadata.
+        """
+        while True:
+            v = self.version()
+            m = self.snapshot(v)
+            src = self.with_bucket(source).persist()
+            try:
+                touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
+                if not touched:
+                    return v  # empty batch: no-op, no new snapshot
+                current = self.read(v, buckets=touched)
+                current = current.withColumn(
+                    BUCKET_COL, self._bucket_expr(m["num_buckets"], m["bucket_cols"])
+                )
+                merged = merge_fn(current, src)
+                merged = self._schema_aligned(merged, m)
+                new_files = self._write_files(merged, m, v + 1)
+                files = {k: ps for k, ps in m["files"].items() if int(k) not in set(touched)}
+                files.update(new_files)
+                try:
+                    return self._commit_next(m, v, "merge", files, new_files, summary)
+                except CommitConflict:
+                    continue
+            finally:
+                src.unpersist()
+
+    def _commit_next(self, m, v, op, files, new_files, summary):
+        s = dict(m.get("summary", {}))
+        epochs = dict(s.get("epochs", {}))
+        user = dict(summary or {})
+        for sid, ep in (user.pop("epochs", None) or {}).items():
+            epochs[sid] = max(int(ep), int(epochs.get(sid, -1)))
+        s.update(user)
+        s["epochs"] = epochs
+        s["added_files"] = sum(len(p) for p in new_files.values())
+        s["total_files"] = sum(len(p) for p in files.values())
+        manifest = {
+            "operation": op,
+            "schema": m["schema"],
+            "num_buckets": m["num_buckets"],
+            "bucket_cols": m["bucket_cols"],
+            "partition_col": m["partition_col"],
+            "properties": m.get("properties", {}),
+            "files": files,
+            "summary": s,
+        }
+        return self._commit(v, manifest)
+
+    # ----------------------------------------------------- exactly-once API
+
+    def last_epoch(self, stream_id: str) -> int:
+        """Max epoch committed for a stream (-1 if none) — the snapshot-
+        summary handshake dvx.stream uses to skip replayed micro-batches."""
+        return int(self.snapshot().get("summary", {}).get("epochs", {}).get(stream_id, -1))
+
+    # ------------------------------------------------------------ evolution
+
+    def add_columns(self, new_fields: list) -> int:
+        """Additive schema evolution without rewrite (Iceberg ADD COLUMN,
+        RawVaultSchema.scala:17-27; loyalty_tier scenario). Old files
+        null-fill on read via the explicit read schema."""
+        while True:
+            v = self.version()
+            m = self.snapshot(v)
+            schema = StructType.fromJson(m["schema"])
+            names = {f.name for f in schema.fields}
+            for f in new_fields:
+                if f.name not in names:
+                    schema = schema.add(f)
+            manifest = dict(m)
+            manifest["schema"] = json.loads(schema.json())
+            manifest["operation"] = "add_columns"
+            try:
+                return self._commit(v, manifest)
+            except CommitConflict:
+                continue
+
+    # ---------------------------------------------------------- maintenance
+
+    def rollback(self, version: int) -> int:
+        """CALL system.rollback_to_snapshot analog (IcebergWriter.scala:347-376):
+        commit a NEW snapshot whose file map is the old one."""
+        old = self.snapshot(version)
+        cur_v = self.version()
+        manifest = dict(old)
+        manifest["operation"] = "rollback"
+        manifest.setdefault("summary", {})["rolled_back_to"] = version
+        return self._commit(cur_v, manifest)
+
+    def expire_snapshots(self, retain_last: int = 10) -> int:
+        """CALL system.expire_snapshots analog (IcebergWriter.scala:295-325):
+        drop old manifests and delete data files no live snapshot references."""
+        vs = self._versions()
+        expire = vs[:-retain_last] if len(vs) > retain_last else []
+        if not expire:
+            return 0
+        keep = vs[len(expire):]
+        live: set[str] = set()
+        for v in keep:
+            for ps in self.snapshot(v)["files"].values():
+                live.update(ps)
+        removed = 0
+        for v in expire:
+            for ps in self.snapshot(v)["files"].values():
+                for p in ps:
+                    if p not in live:
+                        fp = os.path.join(self.root, p)
+                        if os.path.exists(fp):
+                            os.unlink(fp)
+                            removed += 1
+            os.unlink(os.path.join(_log_dir(self.root), f"v{v:010d}.json"))
+        return removed
+
+    def compact(self, max_files_per_key: int = 1) -> int:
+        """rewrite_data_files analog (IcebergWriter.scala:396-426): rewrite
+        partition keys whose file count exceeds the target. Metadata-only
+        for already-compact keys."""
+        while True:
+            v = self.version()
+            m = self.snapshot(v)
+            fat = [k for k, ps in m["files"].items() if len(ps) > max_files_per_key]
+            if not fat:
+                return v
+            if m["num_buckets"] is not None:
+                df = self.read(v, buckets=[int(k) for k in fat]).repartition(len(fat))
+                df = df.withColumn(
+                    BUCKET_COL, self._bucket_expr(m["num_buckets"], m["bucket_cols"])
+                )
+            else:
+                df = self.read(v, partitions=fat).repartition(max(1, len(fat)))
+            new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
+            files = {k: ps for k, ps in m["files"].items() if k not in fat}
+            files.update(new_files)
+            try:
+                return self._commit_next(m, v, "compact", files, new_files, {"compacted": fat})
+            except CommitConflict:
+                continue

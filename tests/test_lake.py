@@ -1,0 +1,160 @@
+"""ACID lake-table format: snapshots, COW merge, time travel, rollback,
+expiry, compaction, epoch tracking, additive evolution.
+
+These mirror the Iceberg capabilities the reference relies on
+(IcebergWriter.scala — SURVEY.md §2.1 S5-S13, §2.9 D4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from dvx.lake import BUCKET_COL, LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("v", IntegerType()),
+    ]
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        num_buckets=4,
+        bucket_cols=["k"],
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_create_is_idempotent(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t1 = LakeTable.create(spark, root, SCHEMA, num_buckets=4, bucket_cols=["k"])
+    t2 = LakeTable.create(spark, root, SCHEMA, num_buckets=4, bucket_cols=["k"])
+    assert t1.version() == t2.version() == 1
+
+
+def test_append_and_read(spark, tbl):
+    tbl.append(_df(spark, [("a", 1), ("b", 2)]))
+    tbl.append(_df(spark, [("c", 3)]))
+    got = sorted((r.k, r.v) for r in tbl.read().collect())
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_merge_upsert_only_rewrites_touched_buckets(spark, tbl):
+    tbl.append(_df(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    v_before = tbl.version()
+    files_before = tbl.snapshot()["files"]
+
+    def upsert(cur, src):
+        cols = ["k", "v", BUCKET_COL]
+        keep = cur.join(src.select("k"), "k", "left_anti").select(*cols)
+        return keep.unionByName(src.select(*cols))
+
+    tbl.merge(tbl.with_bucket(_df(spark, [("a", 10), ("d", 4)])), upsert)
+    got = sorted((r.k, r.v) for r in tbl.read().collect())
+    assert got == [("a", 10), ("b", 2), ("c", 3), ("d", 4)]
+
+    # untouched buckets carried over as metadata (identical file paths)
+    files_after = tbl.snapshot()["files"]
+    touched = {r[0] for r in tbl.with_bucket(_df(spark, [("a", 0), ("d", 0)]))
+               .select(BUCKET_COL).distinct().collect()}
+    for key, paths in files_before.items():
+        if int(key) not in touched:
+            assert files_after.get(key) == paths
+    assert tbl.version() == v_before + 1
+
+
+def test_time_travel_and_rollback(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+    v1 = tbl.version()
+    tbl.append(_df(spark, [("b", 2)]))
+    assert tbl.read(v1).count() == 1
+    assert tbl.read().count() == 2
+    tbl.rollback(v1)
+    assert tbl.read().count() == 1
+    ops = [h["operation"] for h in tbl.history()]
+    assert ops[-1] == "rollback"
+
+
+def test_expire_snapshots_keeps_live_files(spark, tbl):
+    for i in range(6):
+        tbl.append(_df(spark, [(f"k{i}", i)]))
+    removed = tbl.expire_snapshots(retain_last=2)
+    assert removed == 0  # append-only: every file is still live
+    assert len(tbl._versions()) == 2
+    assert tbl.read().count() == 6
+
+
+def test_expire_reclaims_replaced_merge_files(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+
+    def replace(cur, src):
+        return src
+
+    for i in range(3):
+        tbl.merge(tbl.with_bucket(_df(spark, [("a", i)])), replace)
+    removed = tbl.expire_snapshots(retain_last=1)
+    assert removed > 0
+    assert [(r.k, r.v) for r in tbl.read().collect()] == [("a", 2)]
+
+
+def test_compact_reduces_files(spark, tbl):
+    for i in range(4):
+        tbl.append(_df(spark, [("a", i), ("b", i)]))
+    before = sum(len(p) for p in tbl.snapshot()["files"].values())
+    tbl.compact(max_files_per_key=1)
+    after = sum(len(p) for p in tbl.snapshot()["files"].values())
+    assert after < before
+    assert tbl.read().count() == 8
+
+
+def test_epoch_tracking(spark, tbl):
+    assert tbl.last_epoch("s1") == -1
+    tbl.append(_df(spark, [("a", 1)]), summary={"epochs": {"s1": 0}})
+    tbl.append(_df(spark, [("b", 2)]), summary={"epochs": {"s1": 3}})
+    assert tbl.last_epoch("s1") == 3
+    assert tbl.last_epoch("other") == -1
+    # lower epoch never regresses the max
+    tbl.append(_df(spark, [("c", 3)]), summary={"epochs": {"s1": 1}})
+    assert tbl.last_epoch("s1") == 3
+
+
+def test_add_columns_null_fills_history(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+    tbl.add_columns([StructField("model", StringType())])
+    df = spark.createDataFrame([("b", 2, "m1")], tbl.schema())
+    tbl.append(df)
+    rows = {r.k: r.model for r in tbl.read().collect()}
+    assert rows == {"a": None, "b": "m1"}
+
+
+def test_partitioned_overwrite(spark, tmp_path):
+    schema = StructType(
+        [StructField("d", StringType()), StructField("n", IntegerType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "p"), schema, partition_col="d")
+    t.append(spark.createDataFrame([("2024-01-01", 1), ("2024-01-02", 2)], schema))
+    t.overwrite_partitions(spark.createDataFrame([("2024-01-02", 99)], schema))
+    got = sorted((r.d, r.n) for r in t.read().collect())
+    assert got == [("2024-01-01", 1), ("2024-01-02", 99)]
+    # partition-pruned read touches only one key's files
+    assert t.read(partitions=["2024-01-01"]).count() == 1
+
+
+def test_bucket_pruned_read(spark, tbl):
+    rows = [(f"k{i}", i) for i in range(20)]
+    tbl.append(_df(spark, rows))
+    one = tbl.with_bucket(_df(spark, [("k7", 0)])).select(BUCKET_COL).first()[0]
+    pruned = tbl.read(buckets=[one])
+    assert pruned.count() < 20
+    assert "k7" in {r.k for r in pruned.collect()}
