@@ -1,0 +1,179 @@
+"""CDC apply conformance: LWW, SCD2 versioning, idempotency, ordering,
+deletes, evolution — the SURVEY.md §5 test plan items 2-5.
+
+Oracle: apply-all-at-once reduction of the changelog in plain SQL
+(latest event per key), which the engine's multi-batch replay must match.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dvx.apply import apply_batch, prepare_batch
+from dvx.changelog import synthetic_changelog
+from dvx.schema import Vault
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    return synthetic_changelog(spark, n_convs=40, hot_convs=2, hot_turns=60).persist()
+
+
+def make_vault(spark, tmp_path) -> Vault:
+    v = Vault(spark, str(tmp_path / "wh"), num_buckets=4)
+    v.create_all_tables()
+    return v
+
+
+def current_state(vault):
+    """Engine's live satellite rows joined back to turn identity."""
+    sat = vault.sat_turn_text.read().filter(
+        F.col("valid_to").isNull() & F.col("is_deleted").isNull()
+    )
+    hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    return (
+        sat.join(hub, "turn_hash_key")
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def oracle_state(changelog):
+    """Batch oracle: last writer (ts, seq) per (conv_id, turn_idx), minus
+    keys whose last event is a delete."""
+    latest = changelog.groupBy("conv_id", "turn_idx").agg(
+        F.max_by(F.struct("op", "role", "text", "tool"), F.struct("ts", "seq")).alias("r")
+    )
+    return (
+        latest.filter(F.col("r.op") != "D")
+        .select("conv_id", "turn_idx", "r.role", "r.text", "r.tool")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def assert_frames_equal(a, b):
+    la, lb = a.collect(), b.collect()
+    assert len(la) == len(lb)
+    for ra, rb in zip(la, lb):
+        assert ra == rb
+
+
+def split_batches(changelog, n):
+    """Deterministic seq-ordered micro-batches (replay order)."""
+    ranked = changelog.withColumn("_b", F.ntile(n).over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("seq")))
+    return [ranked.filter(F.col("_b") == i + 1).drop("_b") for i in range(n)]
+
+
+def test_single_batch_matches_oracle(spark, tmp_path, changelog):
+    vault = make_vault(spark, tmp_path)
+    apply_batch(vault, changelog, epoch_id=0)
+    assert_frames_equal(current_state(vault), oracle_state(changelog))
+
+
+def test_multi_batch_replay_matches_oracle(spark, tmp_path, changelog):
+    vault = make_vault(spark, tmp_path)
+    for i, b in enumerate(split_batches(changelog, 5)):
+        apply_batch(vault, b, epoch_id=i)
+    assert_frames_equal(current_state(vault), oracle_state(changelog))
+
+
+def test_reapply_is_idempotent(spark, tmp_path, changelog):
+    vault = make_vault(spark, tmp_path)
+    batches = split_batches(changelog, 3)
+    for i, b in enumerate(batches):
+        apply_batch(vault, b, epoch_id=i)
+    counts1 = {
+        t: vault.table(t).read().count()
+        for t in ("hub_conversation", "hub_turn", "link_conversation_turn", "sat_turn_text")
+    }
+    apply_batch(vault, batches[1], epoch_id=99)  # replayed mid-stream batch
+    counts2 = {t: vault.table(t).read().count() for t in counts1}
+    assert counts1 == counts2
+    assert_frames_equal(current_state(vault), oracle_state(changelog))
+
+
+def test_out_of_order_batches_converge(spark, tmp_path, changelog):
+    vault = make_vault(spark, tmp_path)
+    batches = split_batches(changelog, 4)
+    for b in [batches[2], batches[0], batches[3], batches[1]]:
+        apply_batch(vault, b)
+    assert_frames_equal(current_state(vault), oracle_state(changelog))
+
+
+def test_scd2_invariants(spark, tmp_path, changelog):
+    vault = make_vault(spark, tmp_path)
+    for i, b in enumerate(split_batches(changelog, 5)):
+        apply_batch(vault, b, epoch_id=i)
+    sat = vault.sat_turn_text.read()
+    # exactly one live version per key
+    live = sat.filter(F.col("valid_to").isNull()).groupBy("turn_hash_key").count()
+    assert live.filter("count > 1").count() == 0
+    # every key has a live version
+    assert (
+        sat.select("turn_hash_key").distinct().count() == live.count()
+    )
+    # superseded versions end-date at the successor's valid_from
+    versions = sat.filter(F.col("valid_to").isNotNull())
+    bad = versions.alias("v").join(
+        sat.alias("s"),
+        (F.col("v.turn_hash_key") == F.col("s.turn_hash_key"))
+        & (F.col("v.valid_to") == F.col("s.valid_from")),
+        "left_anti",
+    )
+    assert bad.count() == 0
+    # updated hot turns have >= 2 versions
+    multi = sat.groupBy("turn_hash_key").count().filter("count >= 2")
+    assert multi.count() > 0
+
+
+def test_hub_uniqueness(spark, tmp_path, changelog):
+    vault = make_vault(spark, tmp_path)
+    for i, b in enumerate(split_batches(changelog, 3)):
+        apply_batch(vault, b, epoch_id=i)
+    n_convs = changelog.select("conv_id").distinct().count()
+    assert vault.hub_conversation.read().count() == n_convs
+    dup = vault.hub_conversation.read().groupBy("conv_hash_key").count().filter("count>1")
+    assert dup.count() == 0
+    n_turns = changelog.select("conv_id", "turn_idx").distinct().count()
+    assert vault.hub_turn.read().count() == n_turns
+    assert vault.link_conversation_turn.read().count() == n_turns
+
+
+def test_delete_tombstones(spark, tmp_path, changelog):
+    vault = make_vault(spark, tmp_path)
+    apply_batch(vault, changelog)
+    deleted_keys = (
+        changelog.groupBy("conv_id", "turn_idx")
+        .agg(F.max_by("op", F.struct("ts", "seq")).alias("last_op"))
+        .filter("last_op = 'D'")
+    )
+    n_del = deleted_keys.count()
+    assert n_del > 0
+    live_del = vault.sat_turn_text.read().filter(
+        F.col("valid_to").isNull() & (F.col("is_deleted") == "Y")
+    )
+    assert live_del.count() == n_del
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path, changelog):
+    vault = make_vault(spark, tmp_path)
+    b1, b2 = split_batches(changelog, 2)
+    apply_batch(vault, b1, epoch_id=0)
+    b2e = b2.withColumn("model", F.concat(F.lit("m-"), F.pmod(F.xxhash64("conv_id"), F.lit(3)).cast("string")))
+    apply_batch(vault, b2e, epoch_id=1)
+    sat = vault.sat_turn_text.read()
+    assert "model" in sat.columns
+    # old rows null-fill, new rows carry the value
+    assert sat.filter(F.col("model").isNotNull()).count() > 0
+    assert sat.filter(F.col("model").isNull()).count() > 0
+    # no history rewrite: still exactly one live row per key
+    live = sat.filter(F.col("valid_to").isNull()).groupBy("turn_hash_key").count()
+    assert live.filter("count > 1").count() == 0
+
+
+def test_prepare_batch_lww_and_dedup(spark, changelog):
+    prepared = prepare_batch(changelog)
+    assert prepared.groupBy("conv_id", "turn_idx").count().filter("count>1").count() == 0
+    assert prepared.count() == changelog.select("conv_id", "turn_idx").distinct().count()
