@@ -1,0 +1,200 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all deterministic (hash-seeded, no RNG) and shuffle-aware:
+
+- :func:`exact_dedup` — hash-groupBy on the normalization fingerprint.
+- :func:`shingles` / :func:`minhash_signatures` / :func:`lsh_pairs` —
+  MinHash + banded LSH: shingle -> per-seed min of md5(seed~shingle) ->
+  band buckets -> candidate pairs from bucket joins. MD5-based so the
+  DuckDB oracle reproduces signatures bit-for-bit.
+- :func:`simhash` — 32-bit SimHash from per-token MD5 nibble votes.
+- :func:`jaccard_pairs` — exact n-gram Jaccard over an inverted-index
+  self-join (the verification stage after LSH candidate generation).
+- :func:`embedding_near_dups` — cosine near-duplicate pairs over an
+  embedding column (see dvx.ops.similarity for the scaled ANN path).
+
+Scale notes
+-----------
+- Everything is expressed as explode -> groupBy / join, i.e. map-side
+  shingling + shuffle on shingle/bucket keys; no driver-side loops.
+- The inverted-index join emits each candidate pair once per shared
+  shingle, then groupBy reduces — a hot shingle (stop-phrase) explodes
+  candidate pairs quadratically, so :func:`jaccard_pairs` drops shingles
+  shared by more than ``max_df`` docs (standard near-dup practice: a
+  shingle that common carries no dedup signal anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dvx.ops.textstats import fingerprint
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keeper per exact-normalized-duplicate group: min doc_id wins.
+    Returns (fp, keeper_id, n_dups)."""
+    return (
+        docs.select(F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Word k-shingles of the normalized text: (doc_id, shingle)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed s, min over shingles of
+    md5(s ~ shingle). One groupBy; seeds fan out via a small explode.
+    Output: (doc_id, mh0..mh{n-1}) — string mins, oracle-reproducible."""
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws("~", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    aggs = [
+        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return seeded.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_pairs(
+    sigs: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banded LSH candidate pairs: docs sharing any band bucket.
+    bucket = md5(band ~ concat of the band's minhashes); pairs via a
+    self-equi-join on (band, bucket) — shuffle keyed on the bucket, so
+    scale-out is linear in candidates, not in |docs|^2."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.lit(str(b))] + [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("~", *parts)).alias("bucket"))
+        )
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b_ = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(sh_tokens: DataFrame, token_col: str = "shingle") -> DataFrame:
+    """32-bit SimHash as a bit string: position p's bit is the majority
+    vote of md5(token)'s p-th nibble high bit ('8'..'f' => +1 else -1).
+    Pure hex-char comparisons — no hex->int casts, so the DuckDB oracle
+    matches byte-for-byte. Output: (doc_id, simhash string)."""
+    pos = F.explode(F.sequence(F.lit(1), F.lit(32))).alias("pos")
+    voted = (
+        sh_tokens.select("doc_id", F.md5(F.col(token_col)).alias("h"))
+        .select("doc_id", "h", pos)
+        .select(
+            "doc_id",
+            "pos",
+            F.when(F.substring(F.col("h"), F.col("pos"), 1) >= "8", 1)
+            .otherwise(-1)
+            .alias("vote"),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("vote").alias("v"))
+    )
+    bits = voted.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+    )
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "bit"))), lambda x: x["bit"]
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float = 0.5, max_df: int = 100
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from an inverted index.
+
+    |A ∩ B| via the shingle self-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+    Shingles appearing in > max_df docs are dropped (hot-key guard)."""
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    pruned = sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = pruned.alias("a"), pruned.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Cosine near-duplicate pairs (brute force — the verification-grade
+    path; use dvx.ops.similarity.lsh_ann for candidate generation at
+    scale). Double-precision accumulation in array order so the oracle's
+    list_cosine_similarity agrees."""
+    from dvx.ops.similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,160 @@
+"""Point-in-time (PIT) and bridge tables — the Business Vault layer.
+
+Reference semantics (BusinessVaultETL.scala:119-207, PITBuilder.scala:
+67-193; SURVEY.md §2.5 W1, §2.3 J3/J5/J6): one row per hub key per
+snapshot date carrying the latest satellite version as of that date.
+
+Three build paths:
+
+- :func:`build_pit` — full build for one snapshot date: as-of filter (P3)
+  -> latest-version window (W1) -> hub join (J3); idempotence guard (A6)
+  skips dates already materialized; writes via dynamic partition
+  overwrite so re-running a date is a clean replace.
+- :func:`build_pit_incremental` — per-micro-batch variant (north_rule):
+  only the keys touched by the batch are recomputed, then partition-
+  overwritten into the same date — O(batch), not O(table).
+- :func:`build_pit_range` — date-spine cross join (J5) + interval as-of
+  join (J6), the PITBuilder.buildSnapshotRange form.
+
+Scale: the window runs per touched bucket (key-partitioned); the hub
+side of J3 is broadcast when small. The PIT table is value-partitioned
+by snapshot_date, so serving queries prune to one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dvx.schema import Vault
+
+_ATTR_EXCLUDE = {"turn_hash_key", "hash_diff", "valid_from", "valid_to",
+                 "is_deleted", "src_seq", "load_date", "record_source"}
+
+
+def _pit_frame(vault: Vault, snapshot_date: str, sat: DataFrame) -> DataFrame:
+    """hub ⋈ latest-sat-version-as-of-date, projected to the PIT schema."""
+    asof_end = F.to_timestamp(F.lit(snapshot_date + " 23:59:59"))
+    asof = sat.filter(F.col("valid_from") <= asof_end)  # P3
+    w = Window.partitionBy("turn_hash_key").orderBy(
+        F.col("valid_from").desc(), F.col("src_seq").desc()
+    )
+    latest = (
+        asof.withColumn("_rn", F.row_number().over(w))  # W1
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("is_deleted").isNull())  # tombstoned keys drop out
+        .drop("_rn")
+    )
+    hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    attrs = [c for c in latest.columns if c not in _ATTR_EXCLUDE]
+    pit_fields = [f.name for f in vault.pit_turn.schema().fields]
+    return (
+        latest.join(hub, "turn_hash_key")  # J3 (hub is NOT broadcast: one row
+        # per turn at 10^10 scale — AQE picks broadcast when it does fit)
+        .withColumn("snapshot_date", F.lit(snapshot_date))
+        .select(
+            *[
+                F.col(c) if c in ["turn_hash_key", "conv_id", "turn_idx",
+                                  "snapshot_date", "valid_from", "valid_to"] + attrs
+                else F.lit(None).alias(c)
+                for c in pit_fields
+            ]
+        )
+    )
+
+
+def build_pit(vault: Vault, snapshot_date: str, if_exists: str = "skip") -> int:
+    """Full PIT build for one date.
+
+    if_exists: 'skip' = idempotence guard (BusinessVaultETL.scala:177-183),
+    'replace' = dynamic partition overwrite.
+    """
+    existing = vault.pit_turn.snapshot()["files"]
+    if snapshot_date in existing and if_exists == "skip":
+        return 0
+    frame = _pit_frame(vault, snapshot_date, vault.sat_turn_text.read())
+    vault.pit_turn.overwrite_partitions(frame)
+    return 1
+
+
+def build_pit_incremental(
+    vault: Vault, snapshot_date: str, touched_keys: DataFrame
+) -> int:
+    """Recompute PIT rows only for keys touched by a micro-batch, merging
+    them into the existing date partition (north_rule: 'PIT tables rebuilt
+    incrementally per micro-batch').
+
+    Reads only the touched buckets of the satellite (manifest pruning) and
+    the existing PIT partition; cost is O(touched), not O(table).
+    """
+    sat_tbl = vault.sat_turn_text
+    keys = touched_keys.select("turn_hash_key").distinct()
+    bucketed = sat_tbl.with_bucket(keys)
+    touched_buckets = [r[0] for r in bucketed.select("_bucket").distinct().collect()]
+    if not touched_buckets:
+        return 0
+    sat = sat_tbl.read(buckets=touched_buckets).join(
+        F.broadcast(keys), "turn_hash_key", "left_semi"
+    )
+    fresh = _pit_frame(vault, snapshot_date, sat)
+    old = vault.pit_turn.read(partitions=[snapshot_date]).join(
+        F.broadcast(keys), "turn_hash_key", "left_anti"
+    )
+    vault.pit_turn.overwrite_partitions(old.unionByName(fresh))
+    return 1
+
+
+def build_pit_range(vault: Vault, start_date: str, end_date: str) -> int:
+    """PITBuilder.buildSnapshotRange (PITBuilder.scala:143-193): date spine
+    × hub cross join (J5), then interval as-of join (J6) against versions."""
+    spine = vault.spark.sql(
+        f"SELECT explode(sequence(to_date('{start_date}'), to_date('{end_date}'))) AS d"
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("snapshot_date"))
+    hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    keys = hub.crossJoin(F.broadcast(spine))  # J5
+    sat = vault.sat_turn_text.read().filter(F.col("is_deleted").isNull())
+    asof_end = F.to_timestamp(F.concat(F.col("snapshot_date"), F.lit(" 23:59:59")))
+    joined = keys.join(  # J6: theta join, equi part on key + residual range filter
+        sat,
+        (keys.turn_hash_key == sat.turn_hash_key)
+        & (sat.valid_from <= asof_end)
+        & (sat.valid_to.isNull() | (sat.valid_to > asof_end)),
+        "inner",
+    ).drop(sat.turn_hash_key)
+    pit_fields = [f.name for f in vault.pit_turn.schema().fields]
+    attrs = [c for c in sat.columns if c not in _ATTR_EXCLUDE]
+    frame = joined.select(
+        *[
+            F.col(c) if c in ["turn_hash_key", "conv_id", "turn_idx",
+                              "snapshot_date", "valid_from", "valid_to"] + attrs
+            else F.lit(None).alias(c)
+            for c in pit_fields
+        ]
+    )
+    vault.pit_turn.overwrite_partitions(frame)
+    return 1
+
+
+def build_bridge(vault: Vault) -> DataFrame:
+    """Bridge table: link ⋈ hub ⋈ hub ⋈ current-sat full refresh
+    (BusinessVaultETL.scala:404-494, J4). Returned (and small enough to
+    re-derive) rather than persisted — callers overwrite their own copy."""
+    link = vault.link_conversation_turn.read()
+    hub_c = vault.hub_conversation.read().select("conv_hash_key", "conv_id")
+    hub_t = vault.hub_turn.read().select(
+        "turn_hash_key", F.col("conv_id").alias("_tc"), "turn_idx"
+    )
+    sat_cur = vault.sat_turn_text.read().filter(
+        F.col("valid_to").isNull() & F.col("is_deleted").isNull()
+    )
+    return (
+        link.join(F.broadcast(hub_c), "conv_hash_key")
+        .join(hub_t, "turn_hash_key")
+        .drop("_tc")
+        .join(sat_cur.select("turn_hash_key", "role", "text", "tool"), "turn_hash_key")
+        .select(
+            "link_hash_key", "conv_hash_key", "turn_hash_key",
+            "conv_id", "turn_idx", "role", "text", "tool",
+        )
+    )

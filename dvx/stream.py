@@ -1,0 +1,144 @@
+"""Structured Streaming ingestion: changelog tail -> vault, exactly-once.
+
+The reference has no streaming (SURVEY.md §2.10) — NiFi polls
+``updated_at`` and Spark batch-applies. This module is the north_rule's
+re-expression: ``readStream`` over a binlog/WAL-style changelog directory
+-> ``foreachBatch`` -> :func:`dvx.apply.apply_batch` (keyed COW MERGE),
+with:
+
+- **exactly-once**: each micro-batch's ``epoch_id`` is recorded in every
+  table's snapshot summary; on restart, foreachBatch replays the last
+  uncommitted batch and :func:`ingest_batch` skips entities whose tables
+  already committed that epoch (the Iceberg snapshot-summary handshake —
+  analog of the reference's anti-join idempotency J1, RawVaultETL.scala:
+  204-205, but O(1) metadata instead of a join).
+- **resume from checkpoint**: the standard Structured Streaming
+  checkpointLocation contract; killed mid-replay runs continue.
+- **per-partition lineage + metrics**: load_metadata rows per epoch and
+  per bucket at every checkpoint (north_rule).
+
+File-source note: the changelog directory is read with
+``maxFilesPerTrigger`` so replay batch boundaries are deterministic per
+file — tests inject restarts between files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dvx import metadata
+from dvx.apply import apply_batch, prepare_batch
+from dvx.schema import CHANGELOG_SCHEMA, Vault
+
+ENTITY = "transcript_changes"
+
+
+def ingest_batch(
+    vault: Vault,
+    batch: DataFrame,
+    epoch_id: int,
+    stream_id: str = "default",
+    salt_buckets: int = 32,
+    log_lineage: bool = True,
+) -> dict:
+    """Apply one micro-batch exactly once.
+
+    Epoch skip: all four vault tables commit the epoch in their snapshot
+    summary inside apply_batch; if the *satellite* (the last table
+    committed) has already seen this epoch, the whole batch was fully
+    applied before a crash/replay and is skipped. Partially-applied
+    epochs re-run, which is safe: every merge is idempotent (anti-join
+    inserts; SCD2 stale/no-op guards).
+    """
+    if vault.sat_turn_text.last_epoch(stream_id) >= epoch_id:
+        if log_lineage:
+            metadata.complete_load(
+                vault, epoch_id, ENTITY, 0, 0, stream_id=stream_id, status="SKIPPED"
+            )
+        return {"skipped": True, "epoch": epoch_id}
+    if log_lineage:
+        metadata.start_load(vault, epoch_id, ENTITY, stream_id=stream_id)
+    stats = apply_batch(
+        vault, batch, epoch_id=epoch_id, stream_id=stream_id, salt_buckets=salt_buckets
+    )
+    if log_lineage:
+        prepared = prepare_batch(batch, salt_buckets)
+        bucketed = vault.sat_turn_text.with_bucket(prepared)
+        metadata.log_partition_metrics(
+            vault, epoch_id, ENTITY, bucketed, stream_id=stream_id
+        )
+        metadata.complete_load(
+            vault,
+            epoch_id,
+            ENTITY,
+            records_extracted=stats["events"],
+            records_loaded=stats["events"],
+            stream_id=stream_id,
+        )
+    return {"skipped": False, "epoch": epoch_id, **stats}
+
+
+def run_stream(
+    vault: Vault,
+    changelog_dir: str,
+    checkpoint_dir: str,
+    stream_id: str = "default",
+    max_files_per_trigger: int = 1,
+    salt_buckets: int = 32,
+    fail_after_batches: int | None = None,
+    log_lineage: bool = True,
+) -> int:
+    """Tail a changelog directory and ingest until drained.
+
+    ``fail_after_batches`` injects a crash after N foreachBatch commits —
+    the restart-replay test harness (SURVEY.md §5 item 3). Returns the
+    number of batches processed this run.
+    """
+    processed = {"n": 0}
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if fail_after_batches is not None and processed["n"] >= fail_after_batches:
+            raise RuntimeError("injected failure for restart test")
+        ingest_batch(
+            vault,
+            batch_df,
+            epoch_id,
+            stream_id=stream_id,
+            salt_buckets=salt_buckets,
+            log_lineage=log_lineage,
+        )
+        processed["n"] += 1
+
+    reader = (
+        vault.spark.readStream.schema(CHANGELOG_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changelog_dir)
+    )
+    q = (
+        reader.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    except Exception:
+        if fail_after_batches is None:
+            raise
+        # injected failure: swallow, caller restarts
+    finally:
+        if q.isActive:
+            q.stop()
+    return processed["n"]
+
+
+def write_changelog_files(changelog: DataFrame, out_dir: str, n_files: int) -> None:
+    """Materialize a changelog as N seq-ordered parquet files (the
+    deterministic micro-batch boundaries for replay tests/bench)."""
+    (
+        changelog.repartitionByRange(n_files, F.col("seq"))
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

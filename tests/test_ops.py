@@ -1,0 +1,161 @@
+"""Training-data ops: textstats, dedup family, ANN, multimodal plumbing."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dvx.ops import textstats as tx
+from dvx.ops.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from dvx.ops.multimodal import extract_features, frame_sample, synthetic_media
+from dvx.ops.similarity import brute_force_topk, ivf_ann, lsh_ann
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+
+
+def test_text_stats_duckdb_parity(spark, docs, sf_dir):
+    got = {
+        r.doc_id: r
+        for r in tx.text_stats(docs).collect()
+    }
+    con = duckdb.connect()
+    sql = f"""
+      select doc_id, {tx.sql_ws_token_count()} as ws_tokens,
+             {tx.sql_lexer_token_count()} as lex_tokens,
+             {tx.sql_stopword_hits()} as stop_hits,
+             {tx.sql_punct_count()} as punct,
+             {tx.sql_quality_score()} as quality,
+             {tx.sql_lang_id()} as lang_pred,
+             {tx.sql_fingerprint()} as fp
+      from '{sf_dir}/documents.parquet'
+    """
+    for row in con.execute(sql).fetchall():
+        doc_id, ws, lex, stop, punct, quality, lang, fp = row
+        g = got[doc_id]
+        assert g.ws_tokens == ws
+        assert g.lex_tokens == lex
+        assert g.stop_hits == stop
+        assert g.punct == punct
+        assert abs(g.quality - quality) < 1e-9
+        assert g.lang_pred == lang
+        assert g.fp == fp
+
+
+def test_exact_dedup_groups(spark, docs):
+    d = exact_dedup(docs)
+    assert d.count() <= docs.count()
+    assert d.agg(F.sum("n_dups")).first()[0] == docs.count()
+
+
+def test_shingle_minhash_lsh_finds_self_dups(spark, docs):
+    # append exact copies of 5 docs with new ids; LSH must pair them up
+    copies = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(copies)
+    sh = shingles(both)
+    sigs = minhash_signatures(sh, num_hashes=8)
+    pairs = lsh_pairs(sigs, num_hashes=8, bands=4)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    for r in docs.limit(5).select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 100000) in found
+
+
+def test_jaccard_exact_pairs(spark, docs):
+    copies = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    sh = shingles(docs.unionByName(copies))
+    pairs = jaccard_pairs(sh, threshold=0.99, max_df=1000)
+    found = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    for r in docs.limit(3).select("doc_id").collect():
+        assert found.get((r.doc_id, r.doc_id + 100000)) == 1.0
+
+
+def test_simhash_stable_and_near_for_dups(spark, docs):
+    copies = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    sh = shingles(docs.unionByName(copies))
+    sims = {r.doc_id: r.simhash for r in simhash(sh).collect()}
+    for r in docs.limit(3).select("doc_id").collect():
+        assert sims[r.doc_id] == sims[r.doc_id + 100000]
+        assert len(sims[r.doc_id]) == 32
+
+
+def test_embedding_near_dups_finds_planted(spark, emb):
+    planted = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(planted)
+    pairs = embedding_near_dups(both, threshold=0.999999)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for r in emb.limit(3).select("vec_id").collect():
+        assert (r.vec_id, r.vec_id + 100000) in found
+
+
+def test_brute_force_topk_shapes_and_self_exclusion(spark, emb):
+    queries = emb.limit(4)
+    res = brute_force_topk(emb, queries, k=5)
+    rows = res.collect()
+    assert len(rows) == 4 * 5
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    # ranks are 1..5 per query, cosine non-increasing
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        assert all(rs[i].cos >= rs[i + 1].cos for i in range(4))
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, emb):
+    queries = emb.limit(8)
+    exact = brute_force_topk(emb, queries, k=3)
+    approx = lsh_ann(emb, queries, k=3, num_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # approximate: at least a third of exact top-3 pairs recalled
+    assert len(e & a) >= len(e) // 3
+
+
+def test_ivf_multiprobe_beats_single_bucket(spark, emb):
+    queries = emb.limit(8)
+    single = lsh_ann(emb, queries, k=3, num_planes=6)
+    multi = ivf_ann(emb, queries, k=3, num_planes=6, n_probes=3)
+    assert multi.count() >= single.count()
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, 32)
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r.feature) == 16 for r in rows)
+    # deterministic across runs
+    again = {r.media_id: r.feature for r in extract_features(media, dim=16).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_multimodal_strict_mode_marks_missing_codec(spark):
+    media = synthetic_media(spark, 4)
+    with pytest.raises(Exception, match="codecs.*not installed"):
+        extract_features(media, strict_codecs=True).collect()
+
+
+def test_frame_sample_explodes(spark):
+    media = synthetic_media(spark, 6)
+    frames = frame_sample(media, every_n=2)
+    rows = frames.collect()
+    assert len(rows) == 6 * 2  # frames 0 and 2 of 4
+    assert {r.frame_idx for r in rows} == {0, 2}
