@@ -72,12 +72,21 @@ def descriptive_cols_of(df: DataFrame) -> list[str]:
 
 
 def prepare_batch(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
-    """Dedup + LWW-collapse + hash enrichment of one changelog micro-batch."""
+    """Dedup + version-chain + hash enrichment of one changelog micro-batch.
+
+    Emits EVERY distinct version per (conv_id, turn_idx) in the batch —
+    not just the last writer — chained via ``_next_ts`` (the successor's
+    valid_from, NULL for the batch-final version), so a PIT as-of any
+    date inside the batch window is still correct. Consecutive events
+    with identical hash_diff collapse (P5 change filter); exact
+    redeliveries collapse on ``seq``.
+    """
+    from pyspark.sql.window import Window
+
     desc = descriptive_cols_of(df)
     df = df.dropDuplicates(["seq"])  # exactly-once vs redelivered events
-    latest = latest_per_key(df, ["conv_id", "turn_idx"], ["ts", "seq"], salt_buckets)
-    return (
-        latest.withColumn("conv_hash_key", hash_expr_udf("conv_id"))
+    enriched = (
+        df.withColumn("conv_hash_key", hash_expr_udf("conv_id"))
         .withColumn("turn_hash_key", hash_expr_udf("conv_id", "turn_idx"))
         # link hash = MD5 over the parent hash keys (RawVaultETL.scala:477-490)
         .withColumn("link_hash_key", hash_expr_udf("conv_hash_key", "turn_hash_key"))
@@ -88,6 +97,12 @@ def prepare_batch(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
         .withColumn("load_date", F.date_format("ts", "yyyy-MM-dd"))
         .withColumn("record_source", F.lit(RECORD_SOURCE))
     )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "seq")
+    chained = enriched.withColumn("_prev_diff", F.lag("hash_diff").over(w)).filter(
+        F.col("_prev_diff").isNull() | (F.col("_prev_diff") != F.col("hash_diff"))
+    )
+    # second window reuses the first's hash partitioning (same keys)
+    return chained.withColumn("_next_ts", F.lead("ts").over(w)).drop("_prev_diff")
 
 
 def _insert_only_merge(key: str, select_cols: list[str]):
@@ -122,6 +137,8 @@ def _sat_scd2_merge(cur: DataFrame, src: DataFrame) -> DataFrame:
     - survivors end-date the current version (valid_to = new valid_from)
       and insert a fresh current version in the same commit.
     """
+    from pyspark.sql.window import Window
+
     key = "turn_hash_key"
     cur_live = cur.filter(F.col("valid_to").isNull()).select(
         F.col(key),
@@ -135,15 +152,29 @@ def _sat_scd2_merge(cur: DataFrame, src: DataFrame) -> DataFrame:
         | (F.col("ts") > F.col("_cur_vf"))
         | ((F.col("ts") == F.col("_cur_vf")) & (F.col("seq") > F.col("_cur_seq")))
     )
-    changed = F.col("_cur_diff").isNull() | (F.col("_cur_diff") != F.col("hash_diff"))
-    winners = j.filter(fresh & changed)
+    survivors = j.filter(fresh)
+    # the batch's earliest surviving version is a no-op if it matches the
+    # stored current version's hash_diff (P5); later versions in the
+    # chain differ from each other by construction (prepare_batch)
+    w = Window.partitionBy(key).orderBy("ts", "seq")
+    winners = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            ~(
+                (F.col("_rn") == 1)
+                & F.col("_cur_diff").isNotNull()
+                & (F.col("_cur_diff") == F.col("hash_diff"))
+            )
+        )
+        .drop("_rn")
+    )
 
     sat_cols = [f.name for f in cur.schema.fields if f.name != BUCKET_COL]
     new_rows = winners.select(
         *[
             F.col("ts").alias("valid_from")
             if c == "valid_from"
-            else F.lit(None).cast("timestamp").alias("valid_to")
+            else F.col("_next_ts").cast("timestamp").alias("valid_to")
             if c == "valid_to"
             else F.col("seq").alias("src_seq")
             if c == "src_seq"
@@ -152,7 +183,7 @@ def _sat_scd2_merge(cur: DataFrame, src: DataFrame) -> DataFrame:
         ],
         F.col(BUCKET_COL),
     )
-    enders = winners.select(F.col(key), F.col("ts").alias("_end_ts"))
+    enders = winners.groupBy(key).agg(F.min("ts").alias("_end_ts"))
     kept = (
         cur.join(enders, key, "left")
         .withColumn(
@@ -231,6 +262,7 @@ def apply_batch(
             *[c for c in sat_cols if c not in ("valid_from", "valid_to", "src_seq")],
             "ts",
             "seq",
+            "_next_ts",
         )
         vault.sat_turn_text.merge(sat_src, _sat_scd2_merge, summary=summary)
         return {"events": n, "extras": desc_extras}

@@ -173,7 +173,18 @@ def test_schema_evolution_mid_stream(spark, tmp_path, changelog):
     assert live.filter("count > 1").count() == 0
 
 
-def test_prepare_batch_lww_and_dedup(spark, changelog):
-    prepared = prepare_batch(changelog)
-    assert prepared.groupBy("conv_id", "turn_idx").count().filter("count>1").count() == 0
-    assert prepared.count() == changelog.select("conv_id", "turn_idx").distinct().count()
+def test_prepare_batch_chains_versions(spark, changelog):
+    prepared = prepare_batch(changelog).persist()
+    # exact redeliveries collapsed: unique seq
+    assert prepared.groupBy("seq").count().filter("count>1").count() == 0
+    # every key present; updated keys carry >1 chained version
+    assert (
+        prepared.select("conv_id", "turn_idx").distinct().count()
+        == changelog.select("conv_id", "turn_idx").distinct().count()
+    )
+    multi = prepared.groupBy("conv_id", "turn_idx").count().filter("count>1")
+    assert multi.count() > 0
+    # exactly one batch-final (NULL _next_ts) version per key
+    finals = prepared.filter(F.col("_next_ts").isNull()).groupBy("conv_id", "turn_idx").count()
+    assert finals.filter("count>1").count() == 0
+    prepared.unpersist()
