@@ -1,38 +1,693 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC replay on sf0.001 returning the current
+conversation state. ``queries()`` / ``oracle_sql()`` — one entry per
+implemented operator family (SURVEY.md §2 + training-data ops), verified
+against DuckDB on the same parquet tables.
+
+Engine-backed queries replay the deterministic changelog derived from
+orders x lineitem (dvx.changelog.CHANGELOG_SQL — a single SQL text valid
+in both Spark SQL and DuckDB) through the full vault pipeline in three
+seq-ordered micro-batches, then read the resulting lake tables. Their
+oracles reduce the same changelog declaratively, so a match proves the
+multi-batch incremental engine equals the apply-all-at-once semantics.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dvx.changelog import CHANGELOG_SQL, changelog_from_testdata  # noqa: E402
+from dvx.hashing import hash_sql  # noqa: E402
+from dvx.ops import textstats as tx  # noqa: E402
+
+PIT_DATE = "1998-06-01"
+
+# --------------------------------------------------------------------------
+# vault replay (cached per sf_dir, on disk + in process)
+# --------------------------------------------------------------------------
+
+_VAULTS: dict[str, object] = {}
+
+
+def _get_vault(spark: SparkSession, sf_dir: str):
+    """Replay the sf_dir changelog into a vault once; reuse afterwards."""
+    from dvx.pit import build_pit
+    from dvx.schema import Vault
+    from dvx.stream import ingest_batch
+
+    key = os.path.abspath(sf_dir)
+    if key in _VAULTS:
+        return _VAULTS[key]
+    wh = os.path.join(
+        os.environ.get("DVX_ENTRY_TMP", "/tmp"),
+        "dvx_entry_wh_" + os.path.basename(key.rstrip("/")),
+    )
+    vault = Vault(spark, wh, num_buckets=16)
+    marker = os.path.join(wh, "_BUILT")
+    if not os.path.exists(marker):
+        if os.path.isdir(wh):
+            shutil.rmtree(wh)
+        vault.create_all_tables()
+        changelog = changelog_from_testdata(spark, sf_dir).persist()
+        # three event-time-ordered micro-batches (noon cutoffs: every event
+        # ts is midnight, so an equal-ts group never straddles a boundary;
+        # per-key arrival order == global (ts, seq) order => the engine's
+        # cross-batch stale guard never discards anything and the
+        # incremental history equals the one-shot oracle chain)
+        b1, b2 = "1997-01-01 12:00:00", "1999-07-01 12:00:00"
+        batches = [
+            changelog.filter(F.col("ts") < b1),
+            changelog.filter((F.col("ts") >= b1) & (F.col("ts") < b2)),
+            changelog.filter(F.col("ts") >= b2),
+        ]
+        for i, b in enumerate(batches):
+            ingest_batch(vault, b, epoch_id=i, log_lineage=(i == 0))
+        build_pit(vault, PIT_DATE)
+        changelog.unpersist()
+        with open(marker, "w") as f:
+            f.write("ok")
+    _VAULTS[key] = vault
+    return vault
+
+
+def _register_views(spark: SparkSession, sf_dir: str, tables=("orders", "lineitem")) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _fmt_ts(c: str) -> F.Column:
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c)
+
+
+# oracle changelog CTE prefix (DuckDB runs the same text)
+_CL = f"WITH changelog AS ({CHANGELOG_SQL}), dedup AS (SELECT DISTINCT * FROM changelog)"
+
+_DIFF = hash_sql("role", "text", "tool", "is_deleted")
+
+_VERSIONS = f"""{_CL},
+flagged AS (
+  SELECT *, CASE WHEN op = 'D' THEN 'Y' END AS is_deleted FROM dedup
+),
+hashed AS (
+  SELECT *, {_DIFF} AS diff FROM flagged
+),
+chain AS (
+  SELECT *, lag(diff) OVER (PARTITION BY conv_id, turn_idx ORDER BY ts, seq) AS prev_diff
+  FROM hashed
+),
+versions AS (
+  SELECT * FROM chain WHERE prev_diff IS NULL OR prev_diff <> diff
+),
+history AS (
+  SELECT *, lead(ts) OVER (PARTITION BY conv_id, turn_idx ORDER BY ts, seq) AS valid_to_ts
+  FROM versions
+)"""
+
+_LATEST = f"""{_CL},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+  FROM dedup
+),
+latest AS (SELECT * FROM ranked WHERE rn = 1)"""
+
+
+# --------------------------------------------------------------------------
+# engine-backed (vault) queries
+# --------------------------------------------------------------------------
+
+
+def q_cdc_current_state(spark, sf_dir):
+    v = _get_vault(spark, sf_dir)
+    sat = v.sat_turn_text.read().filter(
+        F.col("valid_to").isNull() & F.col("is_deleted").isNull()
+    )
+    hub = v.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    return sat.join(hub, "turn_hash_key").select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def q_cdc_hub_conversation(spark, sf_dir):
+    v = _get_vault(spark, sf_dir)
+    return v.hub_conversation.read().select("conv_hash_key", "conv_id")
+
+
+def q_cdc_hub_turn(spark, sf_dir):
+    v = _get_vault(spark, sf_dir)
+    return v.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+
+
+def q_cdc_link(spark, sf_dir):
+    v = _get_vault(spark, sf_dir)
+    return v.link_conversation_turn.read().select(
+        "link_hash_key", "conv_hash_key", "turn_hash_key"
+    )
+
+
+def q_cdc_sat_version_counts(spark, sf_dir):
+    v = _get_vault(spark, sf_dir)
+    hub = v.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    return (
+        v.sat_turn_text.read()
+        .groupBy("turn_hash_key")
+        .agg(F.count("*").alias("n_versions"))
+        .join(hub, "turn_hash_key")
+        .select("conv_id", "turn_idx", "n_versions")
+    )
+
+
+def q_cdc_scd2_history(spark, sf_dir):
+    v = _get_vault(spark, sf_dir)
+    hub = v.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    sat = v.sat_turn_text.read()
+    return sat.join(hub, "turn_hash_key").select(
+        "conv_id",
+        "turn_idx",
+        "hash_diff",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from_s"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to_s"),
+    )
+
+
+def q_cdc_pit_asof(spark, sf_dir):
+    v = _get_vault(spark, sf_dir)
+    return v.pit_turn.read(partitions=[PIT_DATE]).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def q_cdc_deleted_turns(spark, sf_dir):
+    v = _get_vault(spark, sf_dir)
+    sat = v.sat_turn_text.read().filter(
+        F.col("valid_to").isNull() & (F.col("is_deleted") == "Y")
+    )
+    hub = v.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    return sat.join(hub, "turn_hash_key").select("conv_id", "turn_idx")
+
+
+def q_changelog_derivation(spark, sf_dir):
+    """The shared Spark/DuckDB changelog text itself (S1-scan analog)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(CHANGELOG_SQL).select(
+        "seq", "op", "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+_CDC_ORACLES = {
+    "cdc_current_state": f"""{_LATEST}
+        SELECT conv_id, turn_idx, role, text, tool FROM latest WHERE op <> 'D'""",
+    "cdc_hub_conversation": f"""{_CL}
+        SELECT {hash_sql('conv_id')} AS conv_hash_key, conv_id
+        FROM (SELECT DISTINCT conv_id FROM dedup)""",
+    "cdc_hub_turn": f"""{_CL}
+        SELECT {hash_sql('conv_id', 'turn_idx')} AS turn_hash_key, conv_id, turn_idx
+        FROM (SELECT DISTINCT conv_id, turn_idx FROM dedup)""",
+    "cdc_link": f"""{_CL},
+        hubs AS (
+          SELECT {hash_sql('conv_id')} AS conv_hash_key,
+                 {hash_sql('conv_id', 'turn_idx')} AS turn_hash_key
+          FROM (SELECT DISTINCT conv_id, turn_idx FROM dedup)
+        )
+        SELECT {hash_sql('conv_hash_key', 'turn_hash_key')} AS link_hash_key,
+               conv_hash_key, turn_hash_key
+        FROM hubs""",
+    "cdc_sat_version_counts": f"""{_VERSIONS}
+        SELECT conv_id, turn_idx, count(*) AS n_versions
+        FROM versions GROUP BY conv_id, turn_idx""",
+    "cdc_scd2_history": f"""{_VERSIONS}
+        SELECT conv_id, turn_idx, diff AS hash_diff,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+               strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to_s
+        FROM history""",
+    "cdc_pit_asof": f"""{_CL},
+        as_of AS (SELECT * FROM dedup WHERE ts <= TIMESTAMP '{PIT_DATE} 23:59:59'),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+          FROM as_of
+        )
+        SELECT conv_id, turn_idx, role, text, tool FROM ranked WHERE rn = 1 AND op <> 'D'""",
+    "cdc_deleted_turns": f"""{_LATEST}
+        SELECT conv_id, turn_idx FROM latest WHERE op = 'D'""",
+    "changelog_derivation": f"""{_CL}
+        SELECT seq, op, conv_id, turn_idx, role, text, tool,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        FROM changelog""",
+}
+
+
+# --------------------------------------------------------------------------
+# analytics battery (reference benchmark shapes Q1-Q5 + operator coverage)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """Reference benchmark 01 'simple aggregation' as TPC-H Q1 shape
+    (A9/A10; sample_queries/benchmarks/01)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+
+def q2_top_customers(spark, sf_dir):
+    """Benchmark 02 'complex join' + top-k (J4/O4)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(100)
+
+
+def q3_latest_order_per_customer(spark, sf_dir):
+    """Benchmark 03 'temporal' shape: W1 latest-version-per-key."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.filter(F.col("o_orderdate") <= "1998-01-01")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s"),
+        )
+    )
+
+
+def q4_multi_item_orders(spark, sf_dir):
+    """Benchmark 04 'multi-item' shape: A11 string aggregation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_partkey").cast("string"))), ","
+            ).alias("parts"),
+        )
+        .filter(F.col("n_items") >= 5)
+    )
+
+
+def q5_conditional_agg(spark, sf_dir):
+    """A7 conditional aggregation over the events stream table."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.when(F.col("value") > 10, F.col("user_id"))).alias("big_users"),
+        F.sum(
+            F.when(F.col("value") > 10, F.col("value")).otherwise(0.0).cast("decimal(18,2)")
+        ).cast("double").alias("big_value"),
+    )
+
+
+def q6_percentile(spark, sf_dir):
+    """A8 exact percentile/median."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+def q7_anti_join(spark, sf_dir):
+    """J1 left-anti: customers with no orders in 2001 (the idempotent
+    'insert only new keys' shape, RawVaultETL.scala:204-205)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q8_date_spine_cross(spark, sf_dir):
+    """J5 date-spine cross join + P6 partition-date predicate."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    spine = spark.sql(
+        "SELECT explode(sequence(to_date('1998-01-01'), to_date('1998-01-07'))) AS d"
+    )
+    return r.crossJoin(spine).select(
+        "r_regionkey", F.date_format("d", "yyyy-MM-dd").alias("snapshot_date")
+    )
+
+
+def q9_union_distinct(spark, sf_dir):
+    """U1/U2 set ops: high-balance ∪ automobile-segment customers."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    return a.union(b).distinct()
+
+
+def q10_dup_check(spark, sf_dir):
+    """A2 group-count duplicate check (BronzeValidator shape)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 6)
+    )
+
+
+def q11_watermark_minmax(spark, sf_dir):
+    """A4/A5 min/max watermark per group over events."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts_s"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts_s"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q12_distinct_count(spark, sf_dir):
+    """A3 uniqueness validation counts."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data ops queries
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.text_stats(docs).select(
+        "doc_id", "ws_tokens", "lex_tokens", "stop_hits", "punct",
+        "quality", "lang_pred", "fp",
+    )
+
+
+def q_lang_distribution(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.text_stats(docs).groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from dvx.ops.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from dvx.ops.dedup import minhash_signatures, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signatures(shingles(docs, k=5), num_hashes=4)
+
+
+def q_simhash(spark, sf_dir):
+    from dvx.ops.dedup import shingles, simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(shingles(docs, k=5))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from dvx.ops.dedup import jaccard_pairs, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs(shingles(docs, k=3), threshold=0.2, max_df=10000)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from dvx.ops.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.3)
+
+
+def q_ann_topk(spark, sf_dir):
+    from dvx.ops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (scale path) — approximate by design, so no SQL
+    oracle; driver records the rows-only check."""
+    from dvx.ops.similarity import lsh_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=2)
+
+
+_SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - {km1}, 1) + 1)) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{km1}], ' ') AS shingle FROM idx
+)"""
+
+
+def _ops_oracles() -> dict[str, str]:
+    sh5 = _SHINGLE_CTE.format(km1=4)
+    sh3 = _SHINGLE_CTE.format(km1=2)
+    mh = ",\n".join(
+        f"min(CASE WHEN seed = {i} THEN h END) AS mh{i}" for i in range(4)
+    )
+    return {
+        "text_stats": f"""
+            SELECT doc_id, {tx.sql_ws_token_count()} AS ws_tokens,
+                   {tx.sql_lexer_token_count()} AS lex_tokens,
+                   {tx.sql_stopword_hits()} AS stop_hits,
+                   {tx.sql_punct_count()} AS punct,
+                   {tx.sql_quality_score()} AS quality,
+                   {tx.sql_lang_id()} AS lang_pred,
+                   {tx.sql_fingerprint()} AS fp
+            FROM documents""",
+        "lang_distribution": f"""
+            SELECT {tx.sql_lang_id()} AS lang_pred, count(*) AS n_docs,
+                   sum({tx.sql_ws_token_count()}) AS total_tokens
+            FROM documents GROUP BY 1""",
+        "dedup_exact": f"""
+            SELECT {tx.sql_fingerprint()} AS fp, min(doc_id) AS keeper_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "minhash_signatures": f"""{sh5},
+            seeded AS (
+              SELECT doc_id, seed,
+                     md5(concat_ws('~', cast(seed AS STRING), shingle)) AS h
+              FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
+            )
+            SELECT doc_id, {mh} FROM seeded GROUP BY doc_id""",
+        "simhash": f"""{sh5},
+            hx AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+            votes AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN substr(h, cast(pos AS INT), 1) >= '8' THEN 1 ELSE -1 END) AS v
+              FROM hx CROSS JOIN (SELECT unnest(range(1, 33)) AS pos)
+              GROUP BY doc_id, pos
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+            FROM votes GROUP BY doc_id""",
+        "jaccard_pairs": f"""{sh3},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2""",
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
+        "ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, e.v), 6) AS cos
+              FROM e JOIN q ON e.vec_id <> q.vec_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, cos
+            FROM ranked WHERE rank <= 5""",
+    }
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay on sf0.001, return current conversation
+    state in stable (conv_id, turn_idx) order."""
+    return q_cdc_current_state(spark, "/root/testdata/sf0.001").orderBy(
+        "conv_id", "turn_idx"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {
+        "cdc_current_state": q_cdc_current_state,
+        "cdc_hub_conversation": q_cdc_hub_conversation,
+        "cdc_hub_turn": q_cdc_hub_turn,
+        "cdc_link": q_cdc_link,
+        "cdc_sat_version_counts": q_cdc_sat_version_counts,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_pit_asof": q_cdc_pit_asof,
+        "cdc_deleted_turns": q_cdc_deleted_turns,
+        "changelog_derivation": q_changelog_derivation,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q2_top_customers": q2_top_customers,
+        "q3_latest_order_per_customer": q3_latest_order_per_customer,
+        "q4_multi_item_orders": q4_multi_item_orders,
+        "q5_conditional_agg": q5_conditional_agg,
+        "q6_percentile": q6_percentile,
+        "q7_anti_join": q7_anti_join,
+        "q8_date_spine_cross": q8_date_spine_cross,
+        "q9_union_distinct": q9_union_distinct,
+        "q10_dup_check": q10_dup_check,
+        "q11_watermark_minmax": q11_watermark_minmax,
+        "q12_distinct_count": q12_distinct_count,
+        "text_stats": q_text_stats,
+        "lang_distribution": q_lang_distribution,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+    }
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(_CDC_ORACLES)
+    out.update(
+        {
+            "q1_pricing_summary": """
+                SELECT l_returnflag, l_linestatus,
+                       cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                       cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                       count(*) AS count_order,
+                       round(avg(l_discount), 6) AS avg_disc
+                FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+                GROUP BY l_returnflag, l_linestatus""",
+            "q2_top_customers": """
+                SELECT c_custkey, c_name,
+                       cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_custkey, c_name
+                ORDER BY revenue DESC, c_custkey LIMIT 100""",
+            "q3_latest_order_per_customer": """
+                SELECT o_custkey, o_orderkey,
+                       strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s
+                FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                  FROM orders WHERE o_orderdate <= TIMESTAMP '1998-01-01 00:00:00'
+                ) WHERE rn = 1""",
+            "q4_multi_item_orders": """
+                SELECT l_orderkey, count(*) AS n_items,
+                       cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+                       string_agg(cast(l_partkey AS STRING), ',' ORDER BY cast(l_partkey AS STRING)) AS parts
+                FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 5""",
+            "q5_conditional_agg": """
+                SELECT event_type, count(*) AS n,
+                       count(DISTINCT CASE WHEN value > 10 THEN user_id END) AS big_users,
+                       cast(sum(cast(CASE WHEN value > 10 THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS big_value
+                FROM events GROUP BY event_type""",
+            "q6_percentile": """
+                SELECT o_orderpriority,
+                       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+                       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+                FROM orders GROUP BY o_orderpriority""",
+            "q7_anti_join": """
+                SELECT c_custkey, c_name FROM customer
+                WHERE c_custkey NOT IN (
+                  SELECT o_custkey FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""",
+            "q8_date_spine_cross": """
+                SELECT r_regionkey, strftime(d, '%Y-%m-%d') AS snapshot_date
+                FROM region CROSS JOIN (
+                  SELECT unnest(generate_series(DATE '1998-01-01', DATE '1998-01-07',
+                                                INTERVAL 1 DAY)) AS d)""",
+            "q9_union_distinct": """
+                SELECT DISTINCT c_custkey FROM (
+                  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+                  UNION ALL
+                  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')""",
+            "q10_dup_check": """
+                SELECT l_orderkey, count(*) AS cnt FROM lineitem
+                GROUP BY l_orderkey HAVING count(*) > 6""",
+            "q11_watermark_minmax": """
+                SELECT event_type,
+                       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s,
+                       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts_s,
+                       count(DISTINCT user_id) AS n_users
+                FROM events GROUP BY event_type""",
+            "q12_distinct_count": """
+                SELECT count(DISTINCT l_orderkey) AS n_orders,
+                       count(DISTINCT l_partkey) AS n_parts,
+                       count(*) AS n_rows
+                FROM lineitem""",
+        }
+    )
+    out.update(_ops_oracles())
+    return out

@@ -1,0 +1,93 @@
+"""Two-parallelism scaling run (BASELINE.json north_rule evidence).
+
+No real cluster exists in this sandbox, so per BASELINE.md the N->4N
+executor criterion is evidenced by running the identical replay job on
+identical input at local[N] and local[4N] (shuffle partitions scaled
+proportionally) and reporting throughput at both plus
+efficiency = throughput(4N) / (4 * throughput(N)).
+
+Usage: python bench/scaling.py [sf_dir] [N]   (default sf0.1, N=8)
+Writes/updates BENCH.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    r_n = run_bench(sf_dir, n)
+    r_4n = run_bench(sf_dir, 4 * n)
+    eff = r_4n["value"] / (4 * r_n["value"]) if r_n["value"] else 0.0
+    summary = {
+        "sf_dir": sf_dir,
+        "N_cpus": n,
+        "throughput_N": r_n["value"],
+        "throughput_4N": r_4n["value"],
+        "scaling_efficiency": round(eff, 3),
+        "events": r_n["events"],
+        "queries_N": r_n["queries"],
+        "queries_4N": r_4n["queries"],
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    print(json.dumps(summary))
+    md = f"""# BENCH — measured throughput & scaling
+
+## CDC replay (streaming foreachBatch -> hub/link/sat merges, exactly-once)
+
+Input: deterministic changelog derived from `{sf_dir}` ({r_n['events']:,} change events,
+{r_n['batches']} micro-batches). Identical input and job at both parallelism levels
+(sandbox protocol for the N->4N executor criterion, see BASELINE.md).
+
+| parallelism | throughput (events/sec) | replay wall (s) |
+|---|---|---|
+| local[{n}]  | {r_n['value']:,} | {r_n['replay_wall_sec']} |
+| local[{4*n}] | {r_4n['value']:,} | {r_4n['replay_wall_sec']} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8 on a real
+multi-executor cluster; local-mode numbers under-report because all
+"executors" share one JVM, one disk, and the driver-side commit path).
+
+## Per-stage timings (seconds)
+
+| stage | local[{n}] | local[{4*n}] |
+|---|---|---|
+""" + "".join(
+        f"| {k} | {r_n['queries'].get(k, '-')} | {r_4n['queries'].get(k, '-')} |\n"
+        for k in r_n["queries"]
+    ) + f"""
+## 10^10 extrapolation
+
+events/sec/core at local[{4*n}]: {r_4n['value']/(4*n):,.0f}. A 1000-executor,
+4-core cluster at the same per-core rate sustains ~{r_4n['value']/(4*n)*4000:,.0f}
+events/sec -> ~{10**10/(r_4n['value']/(4*n)*4000)/3600:.1f} h for 10^10 events,
+before cluster-side wins unavailable locally (real parallel shuffle service,
+per-executor disks, no shared-JVM contention).
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

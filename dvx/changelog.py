@@ -29,9 +29,20 @@ EPOCH0 = "2024-01-01 00:00:00"
 # turns; exact duplicate re-delivery (same seq) on orderkey%13=0;
 # tombstone deletes on orderkey%101=0 turn 1.
 CHANGELOG_SQL = """
-WITH base AS (
+WITH numbered AS (
+  -- (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+  -- rn gives every source row a deterministic identity in both dialects
+  -- (ties only between fully-identical rows, which are interchangeable)
+  SELECT *, row_number() OVER (
+    PARTITION BY l_orderkey, l_linenumber
+    ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
+             l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  ) AS rn
+  FROM lineitem
+),
+base AS (
   SELECT
-    o.o_orderkey * 100 + l.l_linenumber            AS seq,
+    o.o_orderkey * 10000 + l.l_linenumber * 100 + l.rn AS seq,
     concat('conv-', lpad(cast(o.o_orderkey AS STRING), 9, '0')) AS conv_id,
     cast(l.l_linenumber AS INT)                    AS turn_idx,
     CASE cast(l.l_linenumber % 4 AS INT)
@@ -41,31 +52,35 @@ WITH base AS (
               cast(l.l_partkey AS STRING), cast(l.l_suppkey AS STRING)) AS text,
     CASE WHEN l.l_partkey % 10 < 3
          THEN concat('tool-', cast(l.l_partkey % 5 AS STRING)) END AS tool,
-    l.l_shipdate                                   AS ts
-  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    l.l_shipdate                                   AS ts,
+    o.o_orderkey                                   AS okey
+  FROM orders o JOIN numbered l ON o.o_orderkey = l.l_orderkey
 ),
 inserts AS (
-  SELECT seq, 'I' AS op, conv_id, turn_idx, role, text, tool, ts FROM base
+  SELECT seq, 'I' AS op, conv_id, turn_idx, role, text, tool, ts, okey FROM base
 ),
 dups AS (
-  SELECT * FROM inserts WHERE conv_id LIKE '%0' AND seq % 1300 < 100
+  SELECT * FROM inserts WHERE okey % 13 = 0
 ),
 updates AS (
   SELECT 1000000000000 + seq AS seq, 'U' AS op, conv_id, turn_idx, role,
          concat(text, ' [edited]') AS text, 'editor' AS tool,
-         ts + INTERVAL 1 DAY AS ts
-  FROM base WHERE seq % 700 < 100 AND turn_idx % 2 = 1
+         ts + INTERVAL 1 DAY AS ts, okey
+  FROM base WHERE okey % 7 = 0 AND turn_idx % 2 = 1
 ),
 deletes AS (
   SELECT 2000000000000 + seq AS seq, 'D' AS op, conv_id, turn_idx,
          role, cast(NULL AS STRING) AS text, cast(NULL AS STRING) AS tool,
-         ts + INTERVAL 2 DAY AS ts
-  FROM base WHERE seq % 10100 < 100 AND turn_idx = 1
+         ts + INTERVAL 2 DAY AS ts, okey
+  FROM base WHERE okey % 101 = 0 AND turn_idx = 1
+),
+unioned AS (
+  SELECT * FROM inserts
+  UNION ALL SELECT * FROM dups
+  UNION ALL SELECT * FROM updates
+  UNION ALL SELECT * FROM deletes
 )
-SELECT * FROM inserts
-UNION ALL SELECT * FROM dups
-UNION ALL SELECT * FROM updates
-UNION ALL SELECT * FROM deletes
+SELECT seq, op, conv_id, turn_idx, role, text, tool, ts FROM unioned
 """
 
 
