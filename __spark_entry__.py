@@ -194,6 +194,47 @@ def q_cdc_deleted_turns(spark, sf_dir):
     return sat.join(hub, "turn_hash_key").select("conv_id", "turn_idx")
 
 
+def q_view_conversation_summary(spark, sf_dir):
+    """Semantic view layer (SemanticModel analog): conversation rollup."""
+    from dvx.views import create_all_views
+
+    v = _get_vault(spark, sf_dir)
+    create_all_views(v)
+    return spark.table("v_conversation_summary")
+
+
+def q_view_tool_usage(spark, sf_dir):
+    from dvx.views import create_all_views
+
+    v = _get_vault(spark, sf_dir)
+    create_all_views(v)
+    return spark.table("v_tool_usage")
+
+
+def q_view_turn_churn(spark, sf_dir):
+    from dvx.views import create_all_views
+
+    v = _get_vault(spark, sf_dir)
+    create_all_views(v)
+    return spark.table("v_turn_churn").select(
+        "conv_id", "turn_idx", "n_versions", "first_seen", "last_changed"
+    )
+
+
+def q_gold_fact_summary(spark, sf_dir):
+    """Gold star-schema rollup (fact ⋈ broadcast dims, J7 + A9)."""
+    from dvx.gold import fact_summary
+
+    v = _get_vault(spark, sf_dir)
+    return fact_summary(v)
+
+
+def q_gold_dim_date(spark, sf_dir):
+    from dvx.gold import build_dim_date
+
+    return build_dim_date(spark, "1998-01-01", "1998-03-31")
+
+
 def q_changelog_derivation(spark, sf_dir):
     """The shared Spark/DuckDB changelog text itself (S1-scan analog)."""
     _register_views(spark, sf_dir)
@@ -242,6 +283,34 @@ _CDC_ORACLES = {
         SELECT seq, op, conv_id, turn_idx, role, text, tool,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
         FROM changelog""",
+    "view_conversation_summary": f"""{_LATEST}
+        SELECT conv_id, count(*) AS n_turns,
+               count(DISTINCT role) AS n_roles,
+               sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns,
+               max(turn_idx) AS max_turn_idx
+        FROM latest WHERE op <> 'D' GROUP BY conv_id""",
+    "view_tool_usage": f"""{_LATEST}
+        SELECT tool, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+        FROM latest WHERE op <> 'D' AND tool IS NOT NULL GROUP BY tool""",
+    "view_turn_churn": f"""{_VERSIONS}
+        SELECT conv_id, turn_idx, count(*) AS n_versions,
+               strftime(min(ts), '%Y-%m-%d') AS first_seen,
+               strftime(max(ts), '%Y-%m-%d') AS last_changed
+        FROM versions GROUP BY conv_id, turn_idx""",
+    "gold_fact_summary": f"""{_LATEST}
+        SELECT role, count(*) AS n_turns,
+               sum(length(text)) AS total_chars,
+               sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS tool_turns,
+               count(DISTINCT conv_id) AS n_convs
+        FROM latest WHERE op <> 'D' GROUP BY role""",
+    "gold_dim_date": """
+        SELECT cast(strftime(d, '%Y%m%d') AS INT) AS date_key,
+               strftime(d, '%Y-%m-%d') AS date_s,
+               cast(year(d) AS INT) AS year, cast(quarter(d) AS INT) AS quarter,
+               cast(month(d) AS INT) AS month,
+               cast(dayofweek(d) + 1 AS INT) AS day_of_week
+        FROM (SELECT unnest(generate_series(DATE '1998-01-01', DATE '1998-03-31',
+                                            INTERVAL 1 DAY)) AS d)""",
 }
 
 
@@ -589,6 +658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pit_asof": q_cdc_pit_asof,
         "cdc_deleted_turns": q_cdc_deleted_turns,
         "changelog_derivation": q_changelog_derivation,
+        "view_conversation_summary": q_view_conversation_summary,
+        "view_tool_usage": q_view_tool_usage,
+        "view_turn_churn": q_view_turn_churn,
+        "gold_fact_summary": q_gold_fact_summary,
+        "gold_dim_date": q_gold_dim_date,
         "q1_pricing_summary": q1_pricing_summary,
         "q2_top_customers": q2_top_customers,
         "q3_latest_order_per_customer": q3_latest_order_per_customer,

@@ -55,6 +55,30 @@ def complete_load(
     )
 
 
+def log_epoch_lineage(
+    vault: Vault,
+    load_id: int,
+    entity: str,
+    bucket_counts: list[tuple[int, int]],
+    records: int,
+    stream_id: str | None = None,
+) -> None:
+    """Single append per epoch: one PARTITION_METRIC row per touched
+    bucket + the COMPLETED summary row (north_rule: per-partition lineage
+    + metrics at every checkpoint, without three separate tiny writes)."""
+    now = _now()
+    rows = [
+        (load_id, stream_id, entity, int(b), None, int(c), "PARTITION_METRIC",
+         None, now, None)
+        for b, c in sorted(bucket_counts)
+    ]
+    rows.append(
+        (load_id, stream_id, entity, None, records, records, "COMPLETED",
+         None, now, None)
+    )
+    vault.load_metadata.append(vault.spark.createDataFrame(rows, LOAD_METADATA))
+
+
 def log_partition_metrics(
     vault: Vault, load_id: int, entity: str, prepared: DataFrame, stream_id: str | None = None
 ) -> int:

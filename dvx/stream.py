@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dvx import metadata
-from dvx.apply import apply_batch, prepare_batch
+from dvx.apply import apply_batch
 from dvx.schema import CHANGELOG_SCHEMA, Vault
 
 ENTITY = "transcript_changes"
@@ -44,36 +44,46 @@ def ingest_batch(
 ) -> dict:
     """Apply one micro-batch exactly once.
 
-    Epoch skip: all four vault tables commit the epoch in their snapshot
-    summary inside apply_batch; if the *satellite* (the last table
-    committed) has already seen this epoch, the whole batch was fully
-    applied before a crash/replay and is skipped. Partially-applied
-    epochs re-run, which is safe: every merge is idempotent (anti-join
-    inserts; SCD2 stale/no-op guards).
+    Epoch skip: every vault table commits the epoch in its snapshot
+    summary inside apply_batch (the merges run as concurrent jobs). The
+    batch is skipped only when ALL four tables have committed it; a crash
+    that left the epoch partially applied re-runs it, which is safe —
+    every merge is idempotent (anti-join inserts; SCD2 stale/no-op
+    guards).
     """
-    if vault.sat_turn_text.last_epoch(stream_id) >= epoch_id:
+    applied = min(
+        vault.table(t).last_epoch(stream_id)
+        for t in (
+            "hub_conversation",
+            "hub_turn",
+            "link_conversation_turn",
+            "sat_turn_text",
+        )
+    )
+    if applied >= epoch_id:
         if log_lineage:
             metadata.complete_load(
                 vault, epoch_id, ENTITY, 0, 0, stream_id=stream_id, status="SKIPPED"
             )
         return {"skipped": True, "epoch": epoch_id}
-    if log_lineage:
-        metadata.start_load(vault, epoch_id, ENTITY, stream_id=stream_id)
     stats = apply_batch(
-        vault, batch, epoch_id=epoch_id, stream_id=stream_id, salt_buckets=salt_buckets
+        vault,
+        batch,
+        epoch_id=epoch_id,
+        stream_id=stream_id,
+        salt_buckets=salt_buckets,
+        collect_metrics=log_lineage,
     )
     if log_lineage:
-        prepared = prepare_batch(batch, salt_buckets)
-        bucketed = vault.sat_turn_text.with_bucket(prepared)
-        metadata.log_partition_metrics(
-            vault, epoch_id, ENTITY, bucketed, stream_id=stream_id
-        )
-        metadata.complete_load(
+        # ONE lineage append per epoch: per-bucket metric rows + the
+        # COMPLETED row together (north_rule per-partition lineage, at a
+        # single tiny write instead of three)
+        metadata.log_epoch_lineage(
             vault,
             epoch_id,
             ENTITY,
-            records_extracted=stats["events"],
-            records_loaded=stats["events"],
+            stats["bucket_counts"],
+            records=stats["events"],
             stream_id=stream_id,
         )
     return {"skipped": False, "epoch": epoch_id, **stats}
