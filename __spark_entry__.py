@@ -157,7 +157,7 @@ def q_cdc_sat_version_counts(spark, sf_dir):
     v = _get_vault(spark, sf_dir)
     hub = v.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
     return (
-        v.sat_turn_text.read()
+        v.sat_all()
         .groupBy("turn_hash_key")
         .agg(F.count("*").alias("n_versions"))
         .join(hub, "turn_hash_key")
@@ -168,7 +168,7 @@ def q_cdc_sat_version_counts(spark, sf_dir):
 def q_cdc_scd2_history(spark, sf_dir):
     v = _get_vault(spark, sf_dir)
     hub = v.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
-    sat = v.sat_turn_text.read()
+    sat = v.sat_all()
     return sat.join(hub, "turn_hash_key").select(
         "conv_id",
         "turn_idx",

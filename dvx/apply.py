@@ -77,14 +77,17 @@ def prepare_batch(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
     Emits EVERY distinct version per (conv_id, turn_idx) in the batch —
     not just the last writer — chained via ``_next_ts`` (the successor's
     valid_from, NULL for the batch-final version), so a PIT as-of any
-    date inside the batch window is still correct. Consecutive events
-    with identical hash_diff collapse (P5 change filter); exact
-    redeliveries collapse on ``seq``.
+    date inside the batch window is still correct.
+
+    Exact redeliveries need no dedicated ``dropDuplicates(seq)`` shuffle:
+    a redelivered event has the same (ts, seq, content), so it sorts
+    adjacent to its original in the per-key chain and the consecutive
+    hash-diff filter removes it — one shuffle total for the whole
+    prepare stage.
     """
     from pyspark.sql.window import Window
 
     desc = descriptive_cols_of(df)
-    df = df.dropDuplicates(["seq"])  # exactly-once vs redelivered events
     enriched = (
         df.withColumn("conv_hash_key", hash_expr_udf("conv_id"))
         .withColumn("turn_hash_key", hash_expr_udf("conv_id", "turn_idx"))
@@ -126,76 +129,116 @@ def _insert_only_merge(key: str, select_cols: list[str]):
     return fn
 
 
-def _sat_scd2_merge(cur: DataFrame, src: DataFrame) -> DataFrame:
-    """Satellite SCD2 merge_fn (one COW pass over touched buckets).
+def _apply_satellite(
+    vault: Vault,
+    src: DataFrame,
+    epoch_id: int | None,
+    stream_id: str,
+    summary: dict | None,
+) -> None:
+    """Satellite SCD2 apply over the current/history split.
+
+    Semantics (reference's *intended* end-dating, RawVaultETL.scala
+    1032-1078 fixed):
 
     - stale guard: incoming change older than the stored current version
       (by event ts, tie-broken by seq) is dropped — total-ordered LWW
       across batches;
-    - no-op guard: identical hash_diff is dropped (P5 change filter,
-      RawVaultETL.scala:340-346);
-    - survivors end-date the current version (valid_to = new valid_from)
-      and insert a fresh current version in the same commit.
+    - no-op guard: the batch's earliest surviving version is dropped if
+      it matches the stored current hash_diff (P5 change filter,
+      RawVaultETL.scala:340-346); later chain versions differ from each
+      other by construction (prepare_batch);
+    - non-final chain versions + displaced old current rows append to
+      the HISTORY table (guarded by its epoch watermark — appends are
+      not naturally idempotent);
+    - the batch-final version per key replaces the CURRENT row (COW on
+      touched buckets only; current stays one-row-per-key, so merge IO
+      is bounded by key count forever, independent of update volume).
     """
     from pyspark.sql.window import Window
 
     key = "turn_hash_key"
-    cur_live = cur.filter(F.col("valid_to").isNull()).select(
-        F.col(key),
-        F.col("hash_diff").alias("_cur_diff"),
-        F.col("valid_from").alias("_cur_vf"),
-        F.col("src_seq").alias("_cur_seq"),
-    )
-    j = src.join(cur_live, key, "left")
-    fresh = (
-        F.col("_cur_diff").isNull()
-        | (F.col("ts") > F.col("_cur_vf"))
-        | ((F.col("ts") == F.col("_cur_vf")) & (F.col("seq") > F.col("_cur_seq")))
-    )
-    survivors = j.filter(fresh)
-    # the batch's earliest surviving version is a no-op if it matches the
-    # stored current version's hash_diff (P5); later versions in the
-    # chain differ from each other by construction (prepare_batch)
-    w = Window.partitionBy(key).orderBy("ts", "seq")
-    winners = (
-        survivors.withColumn("_rn", F.row_number().over(w))
-        .filter(
-            ~(
-                (F.col("_rn") == 1)
-                & F.col("_cur_diff").isNotNull()
-                & (F.col("_cur_diff") == F.col("hash_diff"))
-            )
-        )
-        .drop("_rn")
-    )
+    cur_tbl = vault.sat_turn_text
+    hist_tbl = vault.sat_turn_text_hist
+    src = cur_tbl.with_bucket(src).persist()
+    try:
+        touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        cur = cur_tbl.with_bucket(cur_tbl.read(buckets=touched))
+        sat_cols = [f.name for f in cur_tbl.schema().fields]
 
-    sat_cols = [f.name for f in cur.schema.fields if f.name != BUCKET_COL]
-    new_rows = winners.select(
-        *[
-            F.col("ts").alias("valid_from")
-            if c == "valid_from"
-            else F.col("_next_ts").cast("timestamp").alias("valid_to")
-            if c == "valid_to"
-            else F.col("seq").alias("src_seq")
-            if c == "src_seq"
-            else F.col(c)
-            for c in sat_cols
-        ],
-        F.col(BUCKET_COL),
-    )
-    enders = winners.groupBy(key).agg(F.min("ts").alias("_end_ts"))
-    kept = (
-        cur.join(enders, key, "left")
-        .withColumn(
-            "valid_to",
-            F.when(
-                F.col("valid_to").isNull() & F.col("_end_ts").isNotNull(),
-                F.col("_end_ts"),
-            ).otherwise(F.col("valid_to")),
+        cur_live = cur.select(
+            F.col(key),
+            F.col("hash_diff").alias("_cur_diff"),
+            F.col("valid_from").alias("_cur_vf"),
+            F.col("src_seq").alias("_cur_seq"),
         )
-        .select(*sat_cols, BUCKET_COL)
-    )
-    return kept.unionByName(new_rows)
+        j = src.join(cur_live, key, "left")
+        fresh = (
+            F.col("_cur_diff").isNull()
+            | (F.col("ts") > F.col("_cur_vf"))
+            | ((F.col("ts") == F.col("_cur_vf")) & (F.col("seq") > F.col("_cur_seq")))
+        )
+        w = Window.partitionBy(key).orderBy("ts", "seq")
+        winners = (
+            j.filter(fresh)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(
+                ~(
+                    (F.col("_rn") == 1)
+                    & F.col("_cur_diff").isNotNull()
+                    & (F.col("_cur_diff") == F.col("hash_diff"))
+                )
+            )
+            .drop("_rn")
+            .persist()
+        )
+
+        def as_sat(df: DataFrame, valid_to) -> DataFrame:
+            return df.select(
+                *[
+                    F.col("ts").alias("valid_from")
+                    if c == "valid_from"
+                    else valid_to.alias("valid_to")
+                    if c == "valid_to"
+                    else F.col("seq").alias("src_seq")
+                    if c == "src_seq"
+                    else F.col(c)
+                    for c in sat_cols
+                ],
+                F.col(BUCKET_COL),
+            )
+
+        # batch-final winner per key -> new current (valid_to NULL);
+        # earlier chain versions -> history with their chained end ts
+        finals = winners.filter(F.col("_next_ts").isNull())
+        intermediates = winners.filter(F.col("_next_ts").isNotNull())
+
+        enders = winners.groupBy(key).agg(F.min("ts").alias("_end_ts"))
+        displaced = (
+            cur.join(enders, key, "inner")
+            .withColumn("valid_to", F.col("_end_ts"))
+            .select(*sat_cols, BUCKET_COL)
+        )
+        hist_rows = as_sat(
+            intermediates, F.col("_next_ts").cast("timestamp")
+        ).unionByName(displaced)
+
+        # history first: if we crash before the current commit, the re-run
+        # recomputes the same displaced/intermediate rows (current is
+        # unchanged) and the epoch guard below skips the duplicate append
+        if epoch_id is None or hist_tbl.last_epoch(stream_id) < epoch_id:
+            hist_tbl.append(hist_rows, summary=summary)
+
+        kept = cur.join(enders, key, "left_anti").select(*sat_cols, BUCKET_COL)
+        new_current = kept.unionByName(
+            as_sat(finals, F.lit(None).cast("timestamp"))
+        )
+        cur_tbl.replace_buckets(touched, new_current, summary=summary)
+        winners.unpersist()
+    finally:
+        src.unpersist()
 
 
 def apply_batch(
@@ -280,27 +323,29 @@ def apply_batch(
                     ],
                 ),
             ),
-            (
-                vault.sat_turn_text,
-                prepared.select(
-                    *[c for c in sat_cols if c not in ("valid_from", "valid_to", "src_seq")],
-                    "ts",
-                    "seq",
-                    "_next_ts",
-                ),
-                _sat_scd2_merge,
-            ),
         ]
+        sat_src = prepared.select(
+            *[c for c in sat_cols if c not in ("valid_from", "valid_to", "src_seq")],
+            "ts",
+            "seq",
+            "_next_ts",
+        )
         if parallel:
             with ThreadPoolExecutor(max_workers=4) as ex:
                 futs = [
                     ex.submit(tbl.merge, src, fn, summary) for tbl, src, fn in tasks
                 ]
+                futs.append(
+                    ex.submit(
+                        _apply_satellite, vault, sat_src, epoch_id, stream_id, summary
+                    )
+                )
                 for f in futs:
                     f.result()
         else:
             for tbl, src, fn in tasks:
                 tbl.merge(src, fn, summary=summary)
+            _apply_satellite(vault, sat_src, epoch_id, stream_id, summary)
         return {"events": n, "extras": desc_extras, "bucket_counts": bucket_counts}
     finally:
         prepared.unpersist()

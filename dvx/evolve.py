@@ -41,7 +41,7 @@ def evolve_for_batch(vault: Vault, batch: DataFrame) -> list[str]:
     if not extras:
         return []
     batch_fields = {f.name: f for f in batch.schema.fields}
-    for tbl in (vault.sat_turn_text, vault.pit_turn):
+    for tbl in (vault.sat_turn_text, vault.sat_turn_text_hist, vault.pit_turn):
         existing = {f.name for f in tbl.schema().fields}
         new_fields = [
             StructField(c, batch_fields[c].dataType, True)

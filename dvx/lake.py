@@ -338,6 +338,26 @@ class LakeTable:
             finally:
                 src.unpersist()
 
+    def replace_buckets(
+        self, touched: list[int], contents: DataFrame, summary: dict | None = None
+    ) -> int:
+        """Low-level COW commit: replace the file sets of ``touched``
+        buckets with ``contents`` (which must be exactly those buckets'
+        new rows). merge() is this plus the read-modify step; callers
+        that already computed the replacement (e.g. the satellite
+        current/history split) use this directly."""
+        while True:
+            v = self.version()
+            m = self.snapshot(v)
+            merged = self._schema_aligned(self.with_bucket(contents), m)
+            new_files = self._write_files(merged, m, v + 1)
+            files = {k: ps for k, ps in m["files"].items() if int(k) not in set(touched)}
+            files.update(new_files)
+            try:
+                return self._commit_next(m, v, "merge", files, new_files, summary)
+            except CommitConflict:
+                continue
+
     def _commit_next(self, m, v, op, files, new_files, summary):
         s = dict(m.get("summary", {}))
         epochs = dict(s.get("epochs", {}))

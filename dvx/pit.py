@@ -73,7 +73,7 @@ def build_pit(vault: Vault, snapshot_date: str, if_exists: str = "skip") -> int:
     existing = vault.pit_turn.snapshot()["files"]
     if snapshot_date in existing and if_exists == "skip":
         return 0
-    frame = _pit_frame(vault, snapshot_date, vault.sat_turn_text.read())
+    frame = _pit_frame(vault, snapshot_date, vault.sat_all())
     vault.pit_turn.overwrite_partitions(frame)
     return 1
 
@@ -94,7 +94,7 @@ def build_pit_incremental(
     touched_buckets = [r[0] for r in bucketed.select("_bucket").distinct().collect()]
     if not touched_buckets:
         return 0
-    sat = sat_tbl.read(buckets=touched_buckets).join(
+    sat = vault.sat_all(buckets=touched_buckets).join(
         F.broadcast(keys), "turn_hash_key", "left_semi"
     )
     fresh = _pit_frame(vault, snapshot_date, sat)
@@ -113,7 +113,7 @@ def build_pit_range(vault: Vault, start_date: str, end_date: str) -> int:
     ).select(F.date_format("d", "yyyy-MM-dd").alias("snapshot_date"))
     hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
     keys = hub.crossJoin(F.broadcast(spine))  # J5
-    sat = vault.sat_turn_text.read().filter(F.col("is_deleted").isNull())
+    sat = vault.sat_all().filter(F.col("is_deleted").isNull())
     asof_end = F.to_timestamp(F.concat(F.col("snapshot_date"), F.lit(" 23:59:59")))
     joined = keys.join(  # J6: theta join, equi part on key + residual range filter
         sat,

@@ -130,7 +130,14 @@ TABLES = {
     "hub_conversation": dict(schema=HUB_CONVERSATION, bucket_cols=["conv_hash_key"]),
     "hub_turn": dict(schema=HUB_TURN, bucket_cols=["turn_hash_key"]),
     "link_conversation_turn": dict(schema=LINK_CONVERSATION_TURN, bucket_cols=["link_hash_key"]),
+    # SCD2 satellite, split for merge-cost boundedness at 10^10 events:
+    # - sat_turn_text       CURRENT rows only (exactly one per key, incl.
+    #   tombstones) — the only satellite data COW merges ever rewrite, so
+    #   per-batch write IO is O(touched keys), not O(all versions);
+    # - sat_turn_text_hist  end-dated versions, append-only, never
+    #   rewritten. Full history = union (Vault.sat_all()).
     "sat_turn_text": dict(schema=SAT_TURN_TEXT, bucket_cols=["turn_hash_key"]),
+    "sat_turn_text_hist": dict(schema=SAT_TURN_TEXT, bucket_cols=["turn_hash_key"]),
     "pit_turn": dict(schema=PIT_TURN, partition_col="snapshot_date"),
     "load_metadata": dict(schema=LOAD_METADATA),
 }
@@ -165,6 +172,12 @@ class Vault:
 
     def table(self, name: str) -> LakeTable:
         return LakeTable(self.spark, self.path(name))
+
+    def sat_all(self, buckets: list[int] | None = None):
+        """Full satellite history: current ∪ archived versions."""
+        cur = self.table("sat_turn_text").read(buckets=buckets)
+        hist = self.table("sat_turn_text_hist").read(buckets=buckets)
+        return cur.unionByName(hist)
 
     def __getattr__(self, name: str) -> LakeTable:
         if name in TABLES:

@@ -58,6 +58,7 @@ def ingest_batch(
             "hub_turn",
             "link_conversation_turn",
             "sat_turn_text",
+            "sat_turn_text_hist",
         )
     )
     if applied >= epoch_id:

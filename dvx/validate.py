@@ -39,7 +39,7 @@ def check_hash_key_format(vault: Vault):
 
 def check_sat_single_current(vault: Vault):
     """Exactly one valid_to IS NULL row per key (SCD2 invariant)."""
-    sat = vault.sat_turn_text.read()
+    sat = vault.sat_all()
     live = sat.filter(F.col("valid_to").isNull()).groupBy("turn_hash_key").count()
     multi = live.filter("count > 1").count()
     keys = sat.select("turn_hash_key").distinct().count()
@@ -49,13 +49,13 @@ def check_sat_single_current(vault: Vault):
 
 
 def check_sat_valid_from_not_null(vault: Vault):
-    bad = vault.sat_turn_text.read().filter(F.col("valid_from").isNull()).count()
+    bad = vault.sat_all().filter(F.col("valid_from").isNull()).count()
     return (bad == 0), f"{bad} satellite rows with NULL valid_from"
 
 
 def check_version_chain(vault: Vault):
     """Every end-dated version's valid_to equals a successor's valid_from."""
-    sat = vault.sat_turn_text.read()
+    sat = vault.sat_all()
     ended = sat.filter(F.col("valid_to").isNotNull()).alias("v")
     orphans = ended.join(
         sat.alias("s"),

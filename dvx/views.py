@@ -20,7 +20,7 @@ def create_all_views(vault: Vault) -> list[str]:
     """CREATE OR REPLACE VIEW v_* over the vault tables."""
     spark = vault.spark
 
-    sat = vault.sat_turn_text.read()
+    sat = vault.sat_all()
     hub_t = vault.hub_turn.read()
     hub_c = vault.hub_conversation.read()
 

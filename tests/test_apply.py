@@ -106,7 +106,7 @@ def test_scd2_invariants(spark, tmp_path, changelog):
     vault = make_vault(spark, tmp_path)
     for i, b in enumerate(split_batches(changelog, 5)):
         apply_batch(vault, b, epoch_id=i)
-    sat = vault.sat_turn_text.read()
+    sat = vault.sat_all()
     # exactly one live version per key
     live = sat.filter(F.col("valid_to").isNull()).groupBy("turn_hash_key").count()
     assert live.filter("count > 1").count() == 0
@@ -163,7 +163,7 @@ def test_schema_evolution_mid_stream(spark, tmp_path, changelog):
     apply_batch(vault, b1, epoch_id=0)
     b2e = b2.withColumn("model", F.concat(F.lit("m-"), F.pmod(F.xxhash64("conv_id"), F.lit(3)).cast("string")))
     apply_batch(vault, b2e, epoch_id=1)
-    sat = vault.sat_turn_text.read()
+    sat = vault.sat_all()
     assert "model" in sat.columns
     # old rows null-fill, new rows carry the value
     assert sat.filter(F.col("model").isNotNull()).count() > 0

@@ -54,10 +54,10 @@ def test_replayed_epoch_is_skipped(spark, tmp_path, changelog):
     b = changelog.limit(200)
     r1 = ingest_batch(vault, b, epoch_id=0)
     assert not r1["skipped"]
-    counts = vault.sat_turn_text.read().count()
+    counts = vault.sat_all().count()
     r2 = ingest_batch(vault, b, epoch_id=0)  # exact redelivery
     assert r2["skipped"]
-    assert vault.sat_turn_text.read().count() == counts
+    assert vault.sat_all().count() == counts
     skipped = vault.load_metadata.read().filter("status = 'SKIPPED'")
     assert skipped.count() == 1
 
@@ -65,5 +65,5 @@ def test_replayed_epoch_is_skipped(spark, tmp_path, changelog):
 def test_epochs_recorded_in_snapshots(spark, tmp_path, changelog):
     vault = make_vault(spark, tmp_path)
     ingest_batch(vault, changelog.limit(100), epoch_id=7, log_lineage=False)
-    for t in ("hub_conversation", "hub_turn", "link_conversation_turn", "sat_turn_text"):
+    for t in ("hub_conversation", "hub_turn", "link_conversation_turn", "sat_turn_text", "sat_turn_text_hist"):
         assert vault.table(t).last_epoch("default") == 7
