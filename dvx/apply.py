@@ -5,14 +5,16 @@ with the *intended* behavior (proper SCD2 end-dating — the reference's
 UPDATE is broken, RawVaultETL.scala:1032-1078; ours folds end-dating and
 insertion into one copy-on-write merge):
 
-1. redelivery dedup (exact duplicate events by ``seq``),
-2. last-writer-wins collapse to one change per (conv_id, turn_idx) by
-   (ts, seq) — skew-safe two-phase ``max_by`` with salting,
-3. vectorized-UDF hashing (business keys, link key, hash-diff),
-4. hub/link merges = insert-only anti-join on hash key (J1,
+1. vectorized-UDF hashing (business keys + link key fused in one Arrow
+   pass; hash-diff),
+2. per-key version chaining ordered by (ts, seq): consecutive duplicate
+   hash-diffs (incl. exact redeliveries) collapse, survivors carry their
+   in-batch end timestamp,
+3. hub/link merges = insert-only anti-join on hash key (J1,
    RawVaultETL.scala:204-205),
-5. satellite merge = SCD2: end-date the superseded current version and
-   insert the new one; stale (out-of-order) changes are discarded by
+4. satellite apply = SCD2 over a bounded CURRENT table + append-only
+   HISTORY: end-date displaced versions, insert the batch-final version
+   as current; stale (out-of-order) changes are discarded by
    (valid_from, src_seq) comparison; deletes are tombstone versions.
 
 Scale notes
@@ -33,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dvx.hashing import hash_expr_udf
+from dvx.hashing import hash_expr_udf, turn_key_hashes
 from dvx.lake import BUCKET_COL
 from dvx.schema import CHANGELOG_SCHEMA, RECORD_SOURCE, Vault
 
@@ -89,10 +91,9 @@ def prepare_batch(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
 
     desc = descriptive_cols_of(df)
     enriched = (
-        df.withColumn("conv_hash_key", hash_expr_udf("conv_id"))
-        .withColumn("turn_hash_key", hash_expr_udf("conv_id", "turn_idx"))
-        # link hash = MD5 over the parent hash keys (RawVaultETL.scala:477-490)
-        .withColumn("link_hash_key", hash_expr_udf("conv_hash_key", "turn_hash_key"))
+        df.withColumn("_keys", turn_key_hashes("conv_id", "turn_idx"))
+        .select("*", "_keys.*")
+        .drop("_keys")
         .withColumn(
             "is_deleted", F.when(F.col("op") == "D", F.lit("Y")).cast("string")
         )

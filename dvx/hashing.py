@@ -31,7 +31,7 @@ import hashlib
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 NULL_SENTINEL = "~NULL~"
 DELIMITER = "~"
@@ -64,6 +64,39 @@ def hash_expr_udf(*cols: Column | str) -> Column:
     """pandas-UDF MD5 over the same normalized concat (bit-identical to
     :func:`hash_expr`; Arrow-vectorized, never row-at-a-time Python)."""
     return md5_udf(normalized_concat(*cols))
+
+
+_TURN_KEYS_TYPE = StructType(
+    [
+        StructField("conv_hash_key", StringType()),
+        StructField("turn_hash_key", StringType()),
+        StructField("link_hash_key", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_TURN_KEYS_TYPE)
+def _turn_keys_udf(n_conv: pd.Series, n_turn: pd.Series) -> pd.DataFrame:
+    """All three business-key hashes in ONE Arrow pass.
+
+    Semantically identical to three hash_expr_udf calls, but the link
+    hash depends on the other two hash strings, which as separate UDFs
+    forces two sequential ArrowEvalPython stages; fused here it is a
+    single Python round trip per batch."""
+    md5 = lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()  # noqa: E731
+    conv_h = n_conv.map(md5)
+    turn_h = (n_conv + DELIMITER + n_turn).map(md5)
+    link_h = (conv_h.str.upper() + DELIMITER + turn_h.str.upper()).map(md5)
+    return pd.DataFrame(
+        {"conv_hash_key": conv_h, "turn_hash_key": turn_h, "link_hash_key": link_h}
+    )
+
+
+def turn_key_hashes(conv_col: str = "conv_id", turn_col: str = "turn_idx") -> Column:
+    """Struct column (conv_hash_key, turn_hash_key, link_hash_key);
+    link hash per RawVaultETL.scala:477-490 (MD5 over parent hash keys,
+    which the ~NULL~/upper/trim normalization upper-cases)."""
+    return _turn_keys_udf(_normalized(conv_col), _normalized(turn_col))
 
 
 def hash_sql(*cols: str) -> str:

@@ -62,6 +62,28 @@ def test_null_vs_empty_distinct(spark):
     assert a != b  # NULL hashes as sentinel, not as ''
 
 
+def test_fused_key_udf_matches_individual_exprs(df):
+    from dvx.hashing import turn_key_hashes
+
+    got = df.select(
+        turn_key_hashes("conv_id", "turn_idx").alias("k"),
+        hash_expr("conv_id").alias("conv_ref"),
+        hash_expr("conv_id", "turn_idx").alias("turn_ref"),
+    ).collect()
+    for r in got:
+        assert r.k.conv_hash_key == r.conv_ref
+        assert r.k.turn_hash_key == r.turn_ref
+    # link hash equals md5 over the (normalized) parent hashes
+    got2 = df.select(
+        turn_key_hashes("conv_id", "turn_idx").alias("k")
+    ).select(
+        "k.link_hash_key",
+        hash_expr(F.col("k.conv_hash_key"), F.col("k.turn_hash_key")).alias("ref"),
+    ).collect()
+    for r in got2:
+        assert r.link_hash_key == r.ref
+
+
 def test_duckdb_oracle_parity(df):
     pdf = df.toPandas()
     con = duckdb.connect()
