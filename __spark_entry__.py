@@ -30,6 +30,12 @@ from dvx.hashing import hash_sql  # noqa: E402
 from dvx.ops import textstats as tx  # noqa: E402
 
 PIT_DATE = "1998-06-01"
+# micro-batch boundaries of the entry replay (noon cutoffs: every event ts
+# is midnight, so an equal-ts group never straddles a batch boundary)
+B1, B2 = "1997-01-01 12:00:00", "1999-07-01 12:00:00"
+# schema-evolution replay: events >= this cutoff arrive with a new `model`
+# column (the loyalty_tier scenario, source-system/sql/03_add_loyalty_tier.sql)
+EVO_CUT = "1996-06-15 12:00:00"
 
 # --------------------------------------------------------------------------
 # vault replay (cached per sf_dir, on disk + in process)
@@ -63,15 +69,50 @@ def _get_vault(spark: SparkSession, sf_dir: str):
         # per-key arrival order == global (ts, seq) order => the engine's
         # cross-batch stale guard never discards anything and the
         # incremental history equals the one-shot oracle chain)
-        b1, b2 = "1997-01-01 12:00:00", "1999-07-01 12:00:00"
         batches = [
-            changelog.filter(F.col("ts") < b1),
-            changelog.filter((F.col("ts") >= b1) & (F.col("ts") < b2)),
-            changelog.filter(F.col("ts") >= b2),
+            changelog.filter(F.col("ts") < B1),
+            changelog.filter((F.col("ts") >= B1) & (F.col("ts") < B2)),
+            changelog.filter(F.col("ts") >= B2),
         ]
         for i, b in enumerate(batches):
-            ingest_batch(vault, b, epoch_id=i, log_lineage=(i == 0))
+            ingest_batch(vault, b, epoch_id=i, log_lineage=True)
         build_pit(vault, PIT_DATE)
+        changelog.unpersist()
+        with open(marker, "w") as f:
+            f.write("ok")
+    _VAULTS[key] = vault
+    return vault
+
+
+def _get_evo_vault(spark: SparkSession, sf_dir: str):
+    """Two-batch replay with additive schema evolution mid-stream: batch 1
+    is the plain envelope; batch 2 carries a new ``model`` column. The
+    satellite evolves without rewrite (dvx.evolve); rows whose final
+    version predates the cutoff stay NULL (AvroReader.scala:283-313
+    null-fill semantics, loyalty_tier scenario)."""
+    from dvx.schema import Vault
+    from dvx.stream import ingest_batch
+
+    key = os.path.abspath(sf_dir) + "#evo"
+    if key in _VAULTS:
+        return _VAULTS[key]
+    wh = os.path.join(
+        os.environ.get("DVX_ENTRY_TMP", "/tmp"),
+        "dvx_entry_evo_" + os.path.basename(os.path.abspath(sf_dir).rstrip("/")),
+    )
+    vault = Vault(spark, wh, num_buckets=16)
+    marker = os.path.join(wh, "_BUILT")
+    if not os.path.exists(marker):
+        if os.path.isdir(wh):
+            shutil.rmtree(wh)
+        vault.create_all_tables()
+        changelog = changelog_from_testdata(spark, sf_dir).persist()
+        b0 = changelog.filter(F.col("ts") < EVO_CUT)
+        b1 = changelog.filter(F.col("ts") >= EVO_CUT).withColumn(
+            "model", F.concat(F.lit("m-"), F.pmod("turn_idx", F.lit(3)).cast("string"))
+        )
+        ingest_batch(vault, b0, epoch_id=0, log_lineage=False)
+        ingest_batch(vault, b1, epoch_id=1, log_lineage=False)
         changelog.unpersist()
         with open(marker, "w") as f:
             f.write("ok")
@@ -194,6 +235,66 @@ def q_cdc_deleted_turns(spark, sf_dir):
     return sat.join(hub, "turn_hash_key").select("conv_id", "turn_idx")
 
 
+def q_cdc_lineage(spark, sf_dir):
+    """Per-epoch lineage rows from load_metadata (LoadMetadata analog,
+    north_rule per-partition lineage + metrics). The per-bucket
+    PARTITION_METRIC rows are xxhash64-bucketed (not SQL-expressible);
+    the COMPLETED rows' record counts are oracle-verified."""
+    v = _get_vault(spark, sf_dir)
+    return (
+        v.load_metadata.read()
+        .filter(F.col("status") == "COMPLETED")
+        .select(F.col("load_id").alias("epoch"), "records_loaded")
+    )
+
+
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Current state after additive evolution: `model` exists only on
+    versions written after EVO_CUT; older keys null-fill on read."""
+    v = _get_evo_vault(spark, sf_dir)
+    sat = v.sat_turn_text.read().filter(
+        F.col("valid_to").isNull() & F.col("is_deleted").isNull()
+    )
+    hub = v.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    return sat.join(hub, "turn_hash_key").select("conv_id", "turn_idx", "model")
+
+
+def q_cdc_bridge(spark, sf_dir):
+    """Bridge full refresh: link ⋈ hubs ⋈ current-sat (J4,
+    BusinessVaultETL.scala:404-494)."""
+    from dvx.pit import build_bridge
+
+    v = _get_vault(spark, sf_dir)
+    return build_bridge(v)
+
+
+def q_cdc_pit_range(spark, sf_dir):
+    """PIT over a date spine: cross join (J5) + interval as-of join (J6),
+    PITBuilder.buildSnapshotRange form."""
+    from dvx.pit import build_pit_range
+
+    v = _get_vault(spark, sf_dir)
+    dates = ["1997-03-01", "1997-03-02", "1997-03-03"]
+    build_pit_range(v, dates[0], dates[-1])
+    return v.pit_turn.read(partitions=dates).select(
+        "snapshot_date", "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def q_lake_time_travel(spark, sf_dir):
+    """Snapshot time travel (VERSION AS OF analog, IcebergWriter.scala:
+    248-250): hub_turn as of the snapshot that committed epoch 0 ==
+    exactly the keys seen in micro-batch 1."""
+    v = _get_vault(spark, sf_dir)
+    tbl = v.hub_turn
+    epoch0 = min(
+        h["version"]
+        for h in tbl.history()
+        if int(h["summary"].get("epochs", {}).get("default", -1)) == 0
+    )
+    return tbl.read(version=epoch0).select("conv_id", "turn_idx")
+
+
 def q_view_conversation_summary(spark, sf_dir):
     """Semantic view layer (SemanticModel analog): conversation rollup."""
     from dvx.views import create_all_views
@@ -279,6 +380,53 @@ _CDC_ORACLES = {
         SELECT conv_id, turn_idx, role, text, tool FROM ranked WHERE rn = 1 AND op <> 'D'""",
     "cdc_deleted_turns": f"""{_LATEST}
         SELECT conv_id, turn_idx FROM latest WHERE op = 'D'""",
+    "cdc_lineage": f"""{_CL},
+        flagged AS (
+          SELECT *, CASE WHEN op = 'D' THEN 'Y' END AS is_deleted,
+                 CASE WHEN ts < TIMESTAMP '{B1}' THEN 0
+                      WHEN ts < TIMESTAMP '{B2}' THEN 1 ELSE 2 END AS epoch
+          FROM changelog
+        ),
+        hashed AS (SELECT *, {_DIFF} AS diff FROM flagged),
+        chain AS (
+          SELECT *, lag(diff) OVER (
+            PARTITION BY conv_id, turn_idx, epoch ORDER BY ts, seq) AS prev_diff
+          FROM hashed
+        )
+        SELECT CAST(epoch AS BIGINT) AS epoch, count(*) AS records_loaded
+        FROM chain WHERE prev_diff IS NULL OR prev_diff <> diff
+        GROUP BY epoch""",
+    "cdc_schema_evolution": f"""{_LATEST}
+        SELECT conv_id, turn_idx,
+               CASE WHEN ts >= TIMESTAMP '{EVO_CUT}'
+                    THEN concat('m-', CAST(turn_idx % 3 AS VARCHAR)) END AS model
+        FROM latest WHERE op <> 'D'""",
+    "cdc_bridge": f"""{_LATEST},
+        live AS (
+          SELECT *, {hash_sql('conv_id')} AS conv_hash_key,
+                 {hash_sql('conv_id', 'turn_idx')} AS turn_hash_key
+          FROM latest WHERE op <> 'D'
+        )
+        SELECT {hash_sql('conv_hash_key', 'turn_hash_key')} AS link_hash_key,
+               conv_hash_key, turn_hash_key, conv_id, turn_idx, role, text, tool
+        FROM live""",
+    "cdc_pit_range": f"""{_CL},
+        spine AS (
+          SELECT strftime(d, '%Y-%m-%d') AS snapshot_date, d
+          FROM (SELECT unnest(generate_series(DATE '1997-03-01', DATE '1997-03-03',
+                                              INTERVAL 1 DAY)) AS d)
+        ),
+        j AS (
+          SELECT s.snapshot_date, c.*,
+                 row_number() OVER (PARTITION BY c.conv_id, c.turn_idx, s.snapshot_date
+                                    ORDER BY c.ts DESC, c.seq DESC) AS rn
+          FROM dedup c JOIN spine s ON c.ts < s.d + INTERVAL 1 DAY
+        )
+        SELECT snapshot_date, conv_id, turn_idx, role, text, tool
+        FROM j WHERE rn = 1 AND op <> 'D'""",
+    "lake_time_travel": f"""{_CL}
+        SELECT DISTINCT conv_id, turn_idx FROM dedup
+        WHERE ts < TIMESTAMP '{B1}'""",
     "changelog_derivation": f"""{_CL}
         SELECT seq, op, conv_id, turn_idx, role, text, tool,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
@@ -504,6 +652,16 @@ def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(shingles(docs, k=5), num_hashes=4)
 
 
+def q_dedup_lsh_pairs(spark, sf_dir):
+    """MinHash + banded-LSH candidate pairs (shingle -> minhash -> band
+    bucket -> bucket self-join)."""
+    from dvx.ops.dedup import lsh_pairs, minhash_signatures, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(shingles(docs, k=5), num_hashes=4)
+    return lsh_pairs(sigs, num_hashes=4, bands=2)
+
+
 def q_simhash(spark, sf_dir):
     from dvx.ops.dedup import shingles, simhash
 
@@ -539,6 +697,58 @@ def q_ann_lsh(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_ann(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=2)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style multi-probe ANN — approximate by design, rows-only check
+    (like ann_lsh)."""
+    from dvx.ops.similarity import ivf_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_ann(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=2)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload decode + featurize via mapInPandas (Arrow batches).
+    The codec is the documented deterministic stub (no imaging libs in
+    this container), so the features are exactly reconstructable in SQL:
+    byte i of the payload — the oracle checks the full Spark plumbing
+    (binary column, mapInPandas batch iteration, array<float> output)."""
+    from dvx.ops.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id", "mime", F.posexplode("feature").alias("pos", "val")
+    ).select(
+        "media_id",
+        "mime",
+        "pos",
+        F.round(F.col("val") * 255).cast("int").alias("byte"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled frame; frame
+    payload is a deterministic slice of the source payload (stub codec),
+    decoded back to text for exact comparison."""
+    from dvx.ops.multimodal import frame_sample, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    return frame_sample(media, every_n=2).select(
+        "media_id", "frame_idx", F.decode("frame_payload", "utf-8").alias("frame_text")
+    )
+
+
+# payload text of synthetic_media row i (see dvx/ops/multimodal.py)
+_MEDIA_CTE = """
+WITH m AS (
+  SELECT i AS media_id,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image/jpeg'
+              WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+         'BLOB:' || md5(CAST(i AS VARCHAR)) || repeat('x', 219) AS s
+  FROM (SELECT unnest(range(0, 64)) AS i)
+)"""
 
 
 _SHINGLE_CTE = """
@@ -586,6 +796,23 @@ def _ops_oracles() -> dict[str, str]:
               FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
             )
             SELECT doc_id, {mh} FROM seeded GROUP BY doc_id""",
+        "dedup_lsh_pairs": f"""{sh5},
+            seeded AS (
+              SELECT doc_id, seed,
+                     md5(concat_ws('~', cast(seed AS STRING), shingle)) AS h
+              FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
+            ),
+            sigs AS (SELECT doc_id, {mh} FROM seeded GROUP BY doc_id),
+            bb AS (
+              SELECT doc_id, 0 AS band,
+                     md5(concat_ws('~', '0', mh0, mh1)) AS bucket FROM sigs
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     md5(concat_ws('~', '1', mh2, mh3)) AS bucket FROM sigs
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bb a JOIN bb b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
         "simhash": f"""{sh5},
             hx AS (SELECT doc_id, md5(shingle) AS h FROM sh),
             votes AS (
@@ -616,6 +843,16 @@ def _ops_oracles() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.3""",
+        "multimodal_features": f"""{_MEDIA_CTE}
+            SELECT media_id, mime, CAST(pos AS INT) AS pos,
+                   CAST(ord(substr(s, CAST(pos AS INT) + 1, 1)) AS INT) AS byte
+            FROM m CROSS JOIN (SELECT unnest(range(0, 16)) AS pos)""",
+        "multimodal_frames": f"""{_MEDIA_CTE}
+            SELECT media_id, CAST(0 AS INT) AS frame_idx,
+                   substr(s, 1, 64) AS frame_text FROM m
+            UNION ALL
+            SELECT media_id, CAST(2 AS INT) AS frame_idx,
+                   substr(s, 129, 64) AS frame_text FROM m""",
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT * FROM e WHERE vec_id < 5),
@@ -657,6 +894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_pit_asof": q_cdc_pit_asof,
         "cdc_deleted_turns": q_cdc_deleted_turns,
+        "cdc_lineage": q_cdc_lineage,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_bridge": q_cdc_bridge,
+        "cdc_pit_range": q_cdc_pit_range,
+        "lake_time_travel": q_lake_time_travel,
         "changelog_derivation": q_changelog_derivation,
         "view_conversation_summary": q_view_conversation_summary,
         "view_tool_usage": q_view_tool_usage,
@@ -679,11 +921,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
     return out
 

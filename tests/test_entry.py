@@ -1,5 +1,5 @@
 """Driver-contract smoke: entry() runs, queries() match oracle_sql() on a
-sample (the full 35-query sweep lives in tools/check_oracles.py and runs
+sample (the full 43-query sweep lives in tools/check_oracles.py and runs
 at sf0.01)."""
 
 from __future__ import annotations
@@ -22,6 +22,10 @@ SAMPLE = [
     "gold_dim_date",
     "q1_pricing_summary",
     "text_stats",
+    "cdc_lineage",
+    "cdc_schema_evolution",
+    "lake_time_travel",
+    "multimodal_features",
 ]
 
 
@@ -54,11 +58,11 @@ def test_entry_smoke(spark):
 
 def test_every_query_has_callable_and_most_have_oracles():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
-    assert len(qs) >= 30
+    assert len(qs) >= 40
     missing = set(os_) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
     no_oracle = set(qs) - set(os_)
-    assert no_oracle <= {"ann_lsh"}, f"unexpected rows-only queries: {no_oracle}"
+    assert no_oracle <= {"ann_lsh", "ann_ivf"}, f"unexpected rows-only queries: {no_oracle}"
 
 
 @pytest.mark.parametrize("name", SAMPLE)
