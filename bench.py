@@ -16,6 +16,11 @@ Env:
   SPARK_GRAFT_SF_DIR  data dir          (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] threads  (default 32)
   DVX_BENCH_BATCHES   micro-batches in the replay (default 4)
+  DVX_SYNTH_CONVS     if set, replay the deterministic synthetic transcript
+                      changelog with N conversations instead of the
+                      sf-derived one (the scale knob for the two-
+                      parallelism scaling evidence — same byte-identical
+                      input at any parallelism)
 """
 
 from __future__ import annotations
@@ -39,7 +44,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
-    from dvx.changelog import changelog_from_testdata
+    from dvx.changelog import changelog_from_testdata, synthetic_changelog
     from dvx.pit import build_pit
     from dvx.schema import Vault
     from dvx.session import get_spark
@@ -52,7 +57,12 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="dvx_bench_")
     queries: dict[str, float] = {}
     try:
-        changelog = changelog_from_testdata(spark, sf_dir)
+        synth_convs = int(os.environ.get("DVX_SYNTH_CONVS", "0"))
+        if synth_convs:
+            changelog = synthetic_changelog(spark, n_convs=synth_convs)
+            sf = f"synth{synth_convs}"
+        else:
+            changelog = changelog_from_testdata(spark, sf_dir)
         cdir = os.path.join(tmp, "changelog")
         write_changelog_files(changelog, cdir, n_files=n_batches)
         n_events = spark.read.parquet(cdir).count()

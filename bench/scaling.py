@@ -6,8 +6,15 @@ identical input at local[N] and local[4N] (shuffle partitions scaled
 proportionally) and reporting throughput at both plus
 efficiency = throughput(4N) / (4 * throughput(N)).
 
-Usage: python bench/scaling.py [sf_dir] [N]   (default sf0.1, N=8)
-Writes/updates BENCH.md and prints a JSON summary.
+Usage: python bench/scaling.py [sf_dir] [N] [synth_convs]
+       (defaults: sf0.1, N=8, synth_convs=100000)
+
+The replay input is the deterministic synthetic transcript changelog
+(dvx.changelog.synthetic_changelog — byte-identical at any parallelism),
+sized by synth_convs so the run is compute-dominated rather than
+fixed-overhead-dominated; pass 0 to use the sf-derived changelog instead.
+Writes/updates BENCH.md and prints a JSON summary. Run on an otherwise
+idle machine — concurrent load contaminates the ratio.
 """
 
 from __future__ import annotations
@@ -21,8 +28,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(sf_dir: str, cpus: int) -> dict:
+def run_bench(sf_dir: str, cpus: int, synth_convs: int = 0) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    if synth_convs:
+        env["DVX_SYNTH_CONVS"] = str(synth_convs)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -37,11 +46,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    r_n = run_bench(sf_dir, n)
-    r_4n = run_bench(sf_dir, 4 * n)
+    synth = int(sys.argv[3]) if len(sys.argv) > 3 else 100000
+    r_n = run_bench(sf_dir, n, synth)
+    r_4n = run_bench(sf_dir, 4 * n, synth)
     eff = r_4n["value"] / (4 * r_n["value"]) if r_n["value"] else 0.0
     summary = {
         "sf_dir": sf_dir,
+        "synth_convs": synth,
         "N_cpus": n,
         "throughput_N": r_n["value"],
         "throughput_4N": r_4n["value"],
@@ -56,9 +67,10 @@ def main() -> None:
 
 ## CDC replay (streaming foreachBatch -> hub/link/sat merges, exactly-once)
 
-Input: deterministic changelog derived from `{sf_dir}` ({r_n['events']:,} change events,
-{r_n['batches']} micro-batches). Identical input and job at both parallelism levels
-(sandbox protocol for the N->4N executor criterion, see BASELINE.md).
+Input: deterministic synthetic transcript changelog ({r_n['events']:,} change events,
+{r_n['batches']} micro-batches; `synthetic_changelog(n_convs={synth})` — byte-identical
+at any parallelism, includes hot-conversation skew). Identical input and job at both
+parallelism levels (sandbox protocol for the N->4N executor criterion, see BASELINE.md).
 
 | parallelism | throughput (events/sec) | replay wall (s) |
 |---|---|---|

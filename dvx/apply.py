@@ -111,7 +111,9 @@ def prepare_batch(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
 
 def _insert_only_merge(key: str, select_cols: list[str]):
     """Hub/link merge_fn: current ∪ (source ∖ current) on the hash key —
-    the J1 left-anti idempotent insert, expressed per touched bucket."""
+    the J1 left-anti idempotent insert, expressed per touched bucket.
+    (COW form; the hot path uses :func:`_insert_new_keys` instead, which
+    appends only the new rows.)"""
 
     def fn(cur: DataFrame, src: DataFrame) -> DataFrame:
         cols = select_cols + [BUCKET_COL]
@@ -128,6 +130,42 @@ def _insert_only_merge(key: str, select_cols: list[str]):
         return cur.select(*cols).unionByName(new.select(*cols))
 
     return fn
+
+
+def _insert_new_keys(
+    tbl,
+    src: DataFrame,
+    key: str,
+    select_cols: list[str],
+    epoch_id: int | None,
+    stream_id: str,
+    summary: dict | None,
+) -> None:
+    """Insert-only hub/link apply as an anti-join + APPEND.
+
+    Hubs and links never update, so COW-rewriting their touched buckets
+    every batch is pure write amplification — O(table) per batch once
+    batches spread across all buckets. This path reads only the key
+    column of the touched buckets (parquet column pruning), anti-joins
+    (J1, RawVaultETL.scala:204-205), and appends just the new rows:
+    write IO is O(new keys). Appends are not naturally idempotent, so
+    the table's epoch watermark guards re-delivered batches (the same
+    handshake the satellite history table uses)."""
+    if epoch_id is not None and tbl.last_epoch(stream_id) >= epoch_id:
+        return
+    others = [c for c in select_cols if c != key]
+    src_b = tbl.with_bucket(src)
+    touched = sorted(r[0] for r in src_b.select(BUCKET_COL).distinct().collect())
+    if not touched:
+        return
+    existing = tbl.read(buckets=touched).select(key)
+    src_rows = (
+        src_b.groupBy(key, BUCKET_COL)
+        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_s"))
+        .select(key, "_s.*", BUCKET_COL)
+    )
+    new = src_rows.join(existing, key, "left_anti")
+    tbl.append(new, summary=summary)
 
 
 def _apply_satellite(
@@ -166,7 +204,9 @@ def _apply_satellite(
         touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
         if not touched:
             return
-        cur = cur_tbl.with_bucket(cur_tbl.read(buckets=touched))
+        # current rows feed three consumers (stale-guard join, displaced
+        # calc, kept-rows union) — cache to scan the parquet once
+        cur = cur_tbl.with_bucket(cur_tbl.read(buckets=touched)).persist()
         sat_cols = [f.name for f in cur_tbl.schema().fields]
 
         cur_live = cur.select(
@@ -238,6 +278,7 @@ def _apply_satellite(
         )
         cur_tbl.replace_buckets(touched, new_current, summary=summary)
         winners.unpersist()
+        cur.unpersist()
     finally:
         src.unpersist()
 
@@ -289,20 +330,16 @@ def apply_batch(
             (
                 vault.hub_conversation,
                 prepared.select("conv_hash_key", "conv_id", "load_date", "record_source"),
-                _insert_only_merge(
-                    "conv_hash_key",
-                    ["conv_hash_key", "conv_id", "load_date", "record_source"],
-                ),
+                "conv_hash_key",
+                ["conv_hash_key", "conv_id", "load_date", "record_source"],
             ),
             (
                 vault.hub_turn,
                 prepared.select(
                     "turn_hash_key", "conv_id", "turn_idx", "load_date", "record_source"
                 ),
-                _insert_only_merge(
-                    "turn_hash_key",
-                    ["turn_hash_key", "conv_id", "turn_idx", "load_date", "record_source"],
-                ),
+                "turn_hash_key",
+                ["turn_hash_key", "conv_id", "turn_idx", "load_date", "record_source"],
             ),
             (
                 vault.link_conversation_turn,
@@ -313,16 +350,14 @@ def apply_batch(
                     "load_date",
                     "record_source",
                 ),
-                _insert_only_merge(
+                "link_hash_key",
+                [
                     "link_hash_key",
-                    [
-                        "link_hash_key",
-                        "conv_hash_key",
-                        "turn_hash_key",
-                        "load_date",
-                        "record_source",
-                    ],
-                ),
+                    "conv_hash_key",
+                    "turn_hash_key",
+                    "load_date",
+                    "record_source",
+                ],
             ),
         ]
         sat_src = prepared.select(
@@ -334,7 +369,10 @@ def apply_batch(
         if parallel:
             with ThreadPoolExecutor(max_workers=4) as ex:
                 futs = [
-                    ex.submit(tbl.merge, src, fn, summary) for tbl, src, fn in tasks
+                    ex.submit(
+                        _insert_new_keys, tbl, src, key, cols, epoch_id, stream_id, summary
+                    )
+                    for tbl, src, key, cols in tasks
                 ]
                 futs.append(
                     ex.submit(
@@ -344,8 +382,8 @@ def apply_batch(
                 for f in futs:
                     f.result()
         else:
-            for tbl, src, fn in tasks:
-                tbl.merge(src, fn, summary=summary)
+            for tbl, src, key, cols in tasks:
+                _insert_new_keys(tbl, src, key, cols, epoch_id, stream_id, summary)
             _apply_satellite(vault, sat_src, epoch_id, stream_id, summary)
         return {"events": n, "extras": desc_extras, "bucket_counts": bucket_counts}
     finally:

@@ -240,6 +240,17 @@ class LakeTable:
             df = df.withColumn(_PHYS, F.col(manifest["partition_col"]).cast("string"))
         else:
             df = df.withColumn(_PHYS, F.lit(""))
+        # Cluster rows by physical key before the write: one writer task
+        # (=> one file) per partition key per commit, instead of one file
+        # per (task x key) — without this, every commit writes up to
+        # shuffle_partitions x |keys| small parquet files and read cost
+        # grows per batch. This is what Iceberg's bucket-partitioned
+        # write distribution does; at scale num_buckets is sized so a
+        # bucket's rewrite (~100-500 MB) is one healthy task/file.
+        n_write = manifest["num_buckets"] or max(
+            2, self.spark.sparkContext.defaultParallelism
+        )
+        df = df.repartition(n_write, F.col(_PHYS))
         df.write.mode("overwrite").partitionBy(_PHYS).parquet(commit_dir)
 
         out: dict[str, list[str]] = {}

@@ -55,7 +55,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("DVX_DRIVER_MEMORY", "16g"))
+        # local mode: the driver JVM runs every task; an undersized heap
+        # turns the first action after a heavy shuffle into a multi-second
+        # GC pause (measured: 12-15s spikes at 16g with local[32] on sf0.1)
+        .config("spark.driver.memory", os.environ.get("DVX_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
