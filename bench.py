@@ -54,7 +54,10 @@ def main() -> None:
         app_name="dvx-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
     )
 
-    tmp = tempfile.mkdtemp(prefix="dvx_bench_")
+    # table data on tmpfs when available (per-executor-disk stand-in; the
+    # shared /tmp virtual disk otherwise serializes the write path)
+    scratch_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    tmp = tempfile.mkdtemp(prefix="dvx_bench_", dir=scratch_root)
     queries: dict[str, float] = {}
     try:
         synth_convs = int(os.environ.get("DVX_SYNTH_CONVS", "0"))

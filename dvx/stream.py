@@ -41,6 +41,7 @@ def ingest_batch(
     stream_id: str = "default",
     salt_buckets: int = 32,
     log_lineage: bool = True,
+    pit_dates: list[str] | None = None,
 ) -> dict:
     """Apply one micro-batch exactly once.
 
@@ -50,6 +51,12 @@ def ingest_batch(
     that left the epoch partially applied re-runs it, which is safe —
     every merge is idempotent (anti-join inserts; SCD2 stale/no-op
     guards).
+
+    ``pit_dates``: PIT snapshot dates to maintain incrementally per
+    micro-batch (north_star: "PIT tables rebuilt incrementally per
+    micro-batch") — only the keys this batch touched are recomputed
+    (dvx.pit.build_pit_incremental). The rebuild derives purely from
+    satellite state, so it is idempotent and needs no epoch guard.
     """
     applied = min(
         vault.table(t).last_epoch(stream_id)
@@ -75,6 +82,17 @@ def ingest_batch(
         salt_buckets=salt_buckets,
         collect_metrics=log_lineage,
     )
+    if pit_dates:
+        from dvx.hashing import turn_key_hashes
+        from dvx.pit import build_pit_incremental
+
+        touched = batch.select(
+            turn_key_hashes("conv_id", "turn_idx")["turn_hash_key"].alias(
+                "turn_hash_key"
+            )
+        ).distinct()
+        for d in pit_dates:
+            build_pit_incremental(vault, d, touched)
     if log_lineage:
         # ONE lineage append per epoch: per-bucket metric rows + the
         # COMPLETED row together (north_rule per-partition lineage, at a
@@ -99,6 +117,7 @@ def run_stream(
     salt_buckets: int = 32,
     fail_after_batches: int | None = None,
     log_lineage: bool = True,
+    pit_dates: list[str] | None = None,
 ) -> int:
     """Tail a changelog directory and ingest until drained.
 
@@ -118,6 +137,7 @@ def run_stream(
             stream_id=stream_id,
             salt_buckets=salt_buckets,
             log_lineage=log_lineage,
+            pit_dates=pit_dates,
         )
         processed["n"] += 1
 

@@ -62,6 +62,34 @@ def test_replayed_epoch_is_skipped(spark, tmp_path, changelog):
     assert skipped.count() == 1
 
 
+def test_incremental_pit_per_microbatch_equals_full_rebuild(spark, tmp_path, changelog):
+    """north_star: PIT rebuilt incrementally per micro-batch must equal a
+    one-shot full build over the final satellite state."""
+    from dvx.pit import build_pit
+
+    # mid-stream: inserts span Jan 1-2, updates +1 day, deletes +2 days,
+    # so this date excludes part of the update/delete tail (real as-of)
+    pit_date = "2024-01-02"
+    vault = make_vault(spark, tmp_path)
+    cdir = str(tmp_path / "changelog")
+    write_changelog_files(changelog, cdir, n_files=3)
+    run_stream(vault, cdir, str(tmp_path / "ckpt"), log_lineage=False,
+               pit_dates=[pit_date])
+    incremental = vault.pit_turn.read(partitions=[pit_date])
+
+    oracle_vault = Vault(spark, str(tmp_path / "wh2"), num_buckets=4)
+    oracle_vault.create_all_tables()
+    ingest_batch(oracle_vault, changelog, epoch_id=0, log_lineage=False)
+    build_pit(oracle_vault, pit_date)
+    full = oracle_vault.pit_turn.read(partitions=[pit_date])
+
+    cols = [c for c in incremental.columns]
+    assert_frames_equal(
+        incremental.select(*cols).orderBy("turn_hash_key"),
+        full.select(*cols).orderBy("turn_hash_key"),
+    )
+
+
 def test_epochs_recorded_in_snapshots(spark, tmp_path, changelog):
     vault = make_vault(spark, tmp_path)
     ingest_batch(vault, changelog.limit(100), epoch_id=7, log_lineage=False)
