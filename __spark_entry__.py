@@ -43,6 +43,18 @@ EVO_CUT = "1996-06-15 12:00:00"
 
 _VAULTS: dict[str, object] = {}
 
+# bump whenever replay semantics / logged artifacts change: a warehouse
+# built by an older code revision is rebuilt instead of silently reused
+_BUILD_TAG = "dvx-entry-v3"
+
+
+def _is_built(marker: str) -> bool:
+    try:
+        with open(marker) as f:
+            return f.read().strip() == _BUILD_TAG
+    except OSError:
+        return False
+
 
 def _get_vault(spark: SparkSession, sf_dir: str):
     """Replay the sf_dir changelog into a vault once; reuse afterwards."""
@@ -59,7 +71,7 @@ def _get_vault(spark: SparkSession, sf_dir: str):
     )
     vault = Vault(spark, wh, num_buckets=16)
     marker = os.path.join(wh, "_BUILT")
-    if not os.path.exists(marker):
+    if not _is_built(marker):
         if os.path.isdir(wh):
             shutil.rmtree(wh)
         vault.create_all_tables()
@@ -79,7 +91,7 @@ def _get_vault(spark: SparkSession, sf_dir: str):
         build_pit(vault, PIT_DATE)
         changelog.unpersist()
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(_BUILD_TAG)
     _VAULTS[key] = vault
     return vault
 
@@ -102,7 +114,7 @@ def _get_evo_vault(spark: SparkSession, sf_dir: str):
     )
     vault = Vault(spark, wh, num_buckets=16)
     marker = os.path.join(wh, "_BUILT")
-    if not os.path.exists(marker):
+    if not _is_built(marker):
         if os.path.isdir(wh):
             shutil.rmtree(wh)
         vault.create_all_tables()
@@ -115,7 +127,7 @@ def _get_evo_vault(spark: SparkSession, sf_dir: str):
         ingest_batch(vault, b1, epoch_id=1, log_lineage=False)
         changelog.unpersist()
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(_BUILD_TAG)
     _VAULTS[key] = vault
     return vault
 
@@ -434,7 +446,7 @@ _CDC_ORACLES = {
     "view_conversation_summary": f"""{_LATEST}
         SELECT conv_id, count(*) AS n_turns,
                count(DISTINCT role) AS n_roles,
-               sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns,
+               CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
                max(turn_idx) AS max_turn_idx
         FROM latest WHERE op <> 'D' GROUP BY conv_id""",
     "view_tool_usage": f"""{_LATEST}
@@ -447,8 +459,8 @@ _CDC_ORACLES = {
         FROM versions GROUP BY conv_id, turn_idx""",
     "gold_fact_summary": f"""{_LATEST}
         SELECT role, count(*) AS n_turns,
-               sum(length(text)) AS total_chars,
-               sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS tool_turns,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tool_turns,
                count(DISTINCT conv_id) AS n_convs
         FROM latest WHERE op <> 'D' GROUP BY role""",
     "gold_dim_date": """
@@ -690,22 +702,35 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+_ANN_DIM = 64  # testdata embeddings are 64-dim at every sf
+_LSH_PLANES, _LSH_TABLES = 4, 2
+_IVF_PLANES, _IVF_PROBES = 2, 3
+
+
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (scale path) — approximate by design, so no SQL
-    oracle; driver records the rows-only check."""
+    """Banded multi-table hyperplane-LSH ANN (scale path). The hyperplanes
+    are md5-derived Python literals (dvx.ops.similarity.hyperplanes), so
+    the approximate candidate set is DETERMINISTIC and the DuckDB oracle
+    reproduces it exactly — no 'approximate therefore unverifiable' cop-out."""
     from dvx.ops.similarity import lsh_ann
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_ann(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=2)
+    return lsh_ann(
+        emb, emb.filter(F.col("vec_id") < 5), k=5,
+        num_planes=_LSH_PLANES, num_tables=_LSH_TABLES, dim=_ANN_DIM,
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-style multi-probe ANN — approximate by design, rows-only check
+    """IVF-style multi-probe ANN — deterministic, exact-oracle-verified
     (like ann_lsh)."""
     from dvx.ops.similarity import ivf_ann
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_ann(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=2)
+    return ivf_ann(
+        emb, emb.filter(F.col("vec_id") < 5), k=5,
+        num_planes=_IVF_PLANES, n_probes=_IVF_PROBES, dim=_ANN_DIM,
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -765,6 +790,69 @@ sh AS (
 )"""
 
 
+def _ann_oracles() -> dict[str, str]:
+    """Exact DuckDB oracles for the (deterministic) approximate ANN ops:
+    the same md5-derived hyperplane literals, the same left-to-right dot
+    products, so Spark and DuckDB compute bit-identical signatures."""
+    from dvx.ops.similarity import hyperplanes, lsh_sig_sql
+
+    bands = [hyperplanes(_LSH_PLANES, _ANN_DIM, table=t) for t in range(_LSH_TABLES)]
+    sig_cols = ",\n                   ".join(
+        f"{lsh_sig_sql(b)} AS s{t}" for t, b in enumerate(bands)
+    )
+    collide = " OR ".join(f"c.s{t} = q.s{t}" for t in range(_LSH_TABLES))
+
+    ivf = hyperplanes(_IVF_PLANES, _ANN_DIM, table=0)
+
+    def flip(expr: str, p: int) -> str:
+        return (
+            f"substr({expr}, 1, {p}) || "
+            f"(CASE WHEN substr({expr}, {p + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+            f"substr({expr}, {p + 2}, {_IVF_PLANES - p - 1})"
+        )
+
+    probes = ["c.s0 = q.s0"] + [
+        f"c.s0 = ({flip('q.s0', p)})"
+        for p in range(min(_IVF_PROBES - 1, _IVF_PLANES))
+    ]
+    return {
+        "ann_lsh": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sigs AS (SELECT vec_id, v,
+                   {sig_cols}
+                   FROM e),
+            q AS (SELECT * FROM sigs WHERE vec_id < 5),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, c.v), 6) AS cos
+              FROM sigs c JOIN q ON ({collide}) AND c.vec_id <> q.vec_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM cand
+            )
+            SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, cos
+            FROM ranked WHERE rank <= 5""",
+        "ann_ivf": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sigs AS (SELECT vec_id, v, {lsh_sig_sql(ivf)} AS s0 FROM e),
+            q AS (SELECT * FROM sigs WHERE vec_id < 5),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.v, c.v), 6) AS cos
+              FROM sigs c JOIN q ON ({' OR '.join(probes)}) AND c.vec_id <> q.vec_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM cand
+            )
+            SELECT query_id, neighbor_id, cast(rank AS INT) AS rank, cos
+            FROM ranked WHERE rank <= 5""",
+    }
+
+
 def _ops_oracles() -> dict[str, str]:
     sh5 = _SHINGLE_CTE.format(km1=4)
     sh3 = _SHINGLE_CTE.format(km1=2)
@@ -783,7 +871,7 @@ def _ops_oracles() -> dict[str, str]:
             FROM documents""",
         "lang_distribution": f"""
             SELECT {tx.sql_lang_id()} AS lang_pred, count(*) AS n_docs,
-                   sum({tx.sql_ws_token_count()}) AS total_tokens
+                   CAST(sum({tx.sql_ws_token_count()}) AS BIGINT) AS total_tokens
             FROM documents GROUP BY 1""",
         "dedup_exact": f"""
             SELECT {tx.sql_fingerprint()} AS fp, min(doc_id) AS keeper_id,
@@ -1010,4 +1098,5 @@ def oracle_sql() -> dict[str, str]:
         }
     )
     out.update(_ops_oracles())
+    out.update(_ann_oracles())
     return out

@@ -64,8 +64,13 @@ def main() -> None:
         if synth_convs:
             changelog = synthetic_changelog(spark, n_convs=synth_convs)
             sf = f"synth{synth_convs}"
+            # mid-range as-of date: synthetic ts = 2024-01-01 + conv hours,
+            # so half the keys have versions on both sides of the cut —
+            # pit_build does real work (round 1 built an EMPTY 1998 PIT)
+            pit_date = f"{2024 + max(0, synth_convs // (2 * 8760))}-06-01"
         else:
             changelog = changelog_from_testdata(spark, sf_dir)
+            pit_date = "1998-06-01"
         cdir = os.path.join(tmp, "changelog")
         write_changelog_files(changelog, cdir, n_files=n_batches)
         n_events = spark.read.parquet(cdir).count()
@@ -85,7 +90,7 @@ def main() -> None:
         queries["replay"] = round(replay_sec, 3)
 
         t0 = time.time()
-        build_pit(vault, "1998-06-01", if_exists="replace")
+        build_pit(vault, pit_date, if_exists="replace")
         queries["pit_build"] = round(time.time() - t0, 3)
 
         t0 = time.time()

@@ -7,7 +7,15 @@ proportionally) and reporting throughput at both plus
 efficiency = throughput(4N) / (4 * throughput(N)).
 
 Usage: python bench/scaling.py [sf_dir] [N] [synth_convs]
-       (defaults: sf0.1, N=8, synth_convs=100000)
+       (defaults: sf0.1, N=4, synth_convs=300000)
+
+N defaults to 4: the sandbox exposes 32 vCPUs, and at local[4N] the JVM
+also runs 4N shuffle/GC threads plus up to 4N Python (Arrow UDF) worker
+processes in the SAME address space — at local[32] that is ~3x
+oversubscription of the host, which measures contention, not scaling.
+local[4] -> local[16] keeps both levels under the host's capacity so the
+ratio isolates the quantity a real N -> 4N executor comparison varies:
+task parallelism on the same per-core budget.
 
 The replay input is the deterministic synthetic transcript changelog
 (dvx.changelog.synthetic_changelog — byte-identical at any parallelism),
@@ -45,7 +53,7 @@ def run_bench(sf_dir: str, cpus: int, synth_convs: int = 0) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     synth = int(sys.argv[3]) if len(sys.argv) > 3 else 300000
     trials = int(os.environ.get("DVX_BENCH_TRIALS", "3"))
     # interleave N / 4N trials so machine-level drift (shared VM, page

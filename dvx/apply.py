@@ -201,19 +201,25 @@ def _apply_satellite(
     Semantics (reference's *intended* end-dating, RawVaultETL.scala
     1032-1078 fixed):
 
-    - stale guard: incoming change older than the stored current version
-      (by event ts, tie-broken by seq) is dropped — total-ordered LWW
-      across batches;
-    - no-op guard: the batch's earliest surviving version is dropped if
-      it matches the stored current hash_diff (P5 change filter,
-      RawVaultETL.scala:340-346); later chain versions differ from each
-      other by construction (prepare_batch);
-    - non-final chain versions + displaced old current rows append to
-      the HISTORY table (guarded by its epoch watermark — appends are
-      not naturally idempotent);
-    - the batch-final version per key replaces the CURRENT row (COW on
-      touched buckets only; current stays one-row-per-key, so merge IO
-      is bounded by key count forever, independent of update volume).
+    - FRESH rows (strictly newer than the stored current by (ts, seq)):
+      the in-batch chain applies directly — the no-op guard drops the
+      batch's earliest surviving version if it matches the stored current
+      hash_diff (P5 change filter, RawVaultETL.scala:340-346), non-final
+      chain versions + displaced old current rows append to the HISTORY
+      table (guarded by its epoch watermark — appends are not naturally
+      idempotent), and the batch-final version per key replaces the
+      CURRENT row (COW on touched buckets only).
+    - EQUAL rows (same (ts, seq) as the stored current): exact
+      redeliveries — dropped, idempotent.
+    - STALE rows (strictly older than the stored current): out-of-order
+      arrivals. These are NOT discarded (round-1 defect: dropping them
+      loses past-as-of PIT rows). Every bucket containing a stale row is
+      re-chained from scratch: union(history ∪ current ∪ incoming) for
+      that bucket, dedup on (key, ts, seq), re-collapse consecutive
+      duplicate hash_diffs, recompute valid_from/valid_to by lead() —
+      i.e. the one-shot oracle semantics, recomputed for O(stale buckets)
+      only. The re-chain is a pure function of (stored state ∪ batch), so
+      crash-replay at any point converges to the same state.
     """
     from pyspark.sql.window import Window
 
@@ -227,7 +233,7 @@ def _apply_satellite(
     # memory store at high core counts (measured: 3 caches alive made the
     # satellite block 4x slower at local[32] than local[8])
     src = cur_tbl.with_bucket(src)
-    spill_dir = None
+    spill_j = spill_w = None
     try:
         touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
         if not touched:
@@ -241,7 +247,24 @@ def _apply_satellite(
             F.col("valid_from").alias("_cur_vf"),
             F.col("src_seq").alias("_cur_seq"),
         )
-        j = src.join(cur_live, key, "left")
+        stale = F.col("_cur_diff").isNotNull() & (
+            (F.col("ts") < F.col("_cur_vf"))
+            | ((F.col("ts") == F.col("_cur_vf")) & (F.col("seq") < F.col("_cur_seq")))
+        )
+        # one join pass over the batch, spilled once to scratch parquet
+        # (contention-free vs block-manager caching at high core counts);
+        # feeds stale-bucket detection, the fast path, and the re-chain
+        j = src.join(cur_live, key, "left").withColumn("_stale", stale)
+        spill_j = _spill_path(vault)
+        j.write.mode("overwrite").parquet(spill_j)
+        j = vault.spark.read.parquet(spill_j)
+
+        stale_buckets = sorted(
+            r[0]
+            for r in j.filter("_stale").select(BUCKET_COL).distinct().collect()
+        )
+        fast_buckets = [b for b in touched if b not in set(stale_buckets)]
+
         fresh = (
             F.col("_cur_diff").isNull()
             | (F.col("ts") > F.col("_cur_vf"))
@@ -249,7 +272,8 @@ def _apply_satellite(
         )
         w = Window.partitionBy(key).orderBy("ts", "seq")
         winners = (
-            j.filter(fresh)
+            j.filter(F.col(BUCKET_COL).isin(fast_buckets) if stale_buckets else F.lit(True))
+            .filter(fresh)
             .withColumn("_rn", F.row_number().over(w))
             .filter(
                 ~(
@@ -261,13 +285,10 @@ def _apply_satellite(
             .drop("_rn")
         )
         # winners feeds three downstream plans (history rows, end-date set,
-        # new current). Spill it to scratch parquet once instead of either
-        # (a) recomputing the join+window three times or (b) caching a
-        # third multi-million-row dataset in the block manager — the
-        # parquet spill is contention-free and scales with cores.
-        spill_dir = _spill_path(vault)
-        winners.write.mode("overwrite").parquet(spill_dir)
-        winners = vault.spark.read.parquet(spill_dir)
+        # new current): spill once so the window isn't recomputed per plan
+        spill_w = _spill_path(vault)
+        winners.write.mode("overwrite").parquet(spill_w)
+        winners = vault.spark.read.parquet(spill_w)
 
         def as_sat(df: DataFrame, valid_to) -> DataFrame:
             return df.select(
@@ -284,14 +305,18 @@ def _apply_satellite(
                 F.col(BUCKET_COL),
             )
 
+        # ---- fast path (buckets with in-order arrivals only) ----
         # batch-final winner per key -> new current (valid_to NULL);
         # earlier chain versions -> history with their chained end ts
         finals = winners.filter(F.col("_next_ts").isNull())
         intermediates = winners.filter(F.col("_next_ts").isNotNull())
 
+        cur_fast = (
+            cur.filter(~F.col(BUCKET_COL).isin(stale_buckets)) if stale_buckets else cur
+        )
         enders = winners.groupBy(key).agg(F.min("ts").alias("_end_ts"))
         displaced = (
-            cur.join(enders, key, "inner")
+            cur_fast.join(enders, key, "inner")
             .withColumn("valid_to", F.col("_end_ts"))
             .select(*sat_cols, BUCKET_COL)
         )
@@ -299,20 +324,81 @@ def _apply_satellite(
             intermediates, F.col("_next_ts").cast("timestamp")
         ).unionByName(displaced)
 
-        # history first: if we crash before the current commit, the re-run
-        # recomputes the same displaced/intermediate rows (current is
-        # unchanged) and the epoch guard below skips the duplicate append
+        # history append first: if we crash before the current commit, the
+        # re-run recomputes the same displaced/intermediate rows (current
+        # is unchanged) and the epoch guard skips the duplicate append
         if epoch_id is None or hist_tbl.last_epoch(stream_id) < epoch_id:
             hist_tbl.append(hist_rows, summary=summary)
 
-        kept = cur.join(enders, key, "left_anti").select(*sat_cols, BUCKET_COL)
-        new_current = kept.unionByName(
-            as_sat(finals, F.lit(None).cast("timestamp"))
-        )
+        kept = cur_fast.join(enders, key, "left_anti").select(*sat_cols, BUCKET_COL)
+        new_current = kept.unionByName(as_sat(finals, F.lit(None).cast("timestamp")))
+
+        # ---- re-chain path (buckets that received out-of-order rows) ----
+        if stale_buckets:
+            vcols = [
+                c for c in sat_cols if c not in ("valid_from", "valid_to", "src_seq")
+            ]
+            attr_cols = [c for c in vcols if c != key]
+
+            def as_version(df: DataFrame) -> DataFrame:
+                return df.select(
+                    F.col(key),
+                    F.col("valid_from").alias("ts"),
+                    F.col("src_seq").alias("seq"),
+                    *attr_cols,
+                    F.col(BUCKET_COL),
+                )
+
+            inc_re = j.filter(F.col(BUCKET_COL).isin(stale_buckets)).select(
+                F.col(key), "ts", "seq", *attr_cols, F.col(BUCKET_COL)
+            )
+            hist_re = as_version(
+                hist_tbl.with_bucket(hist_tbl.read(buckets=stale_buckets))
+            )
+            cur_re = as_version(cur.filter(F.col(BUCKET_COL).isin(stale_buckets)))
+            # dedup redeliveries on (key, ts, seq) with a deterministic
+            # attr pick, then re-collapse consecutive duplicate diffs and
+            # recompute the valid_from/valid_to chain — the one-shot
+            # semantics over everything ever seen for these buckets
+            allv = (
+                inc_re.unionByName(hist_re)
+                .unionByName(cur_re)
+                .groupBy(key, "ts", "seq", BUCKET_COL)
+                .agg(F.min(F.struct(*attr_cols)).alias("_s"))
+                .select(key, "ts", "seq", BUCKET_COL, "_s.*")
+            )
+            wv = Window.partitionBy(key).orderBy("ts", "seq")
+            collapsed = allv.withColumn("_pd", F.lag("hash_diff").over(wv)).filter(
+                F.col("_pd").isNull() | (F.col("_pd") != F.col("hash_diff"))
+            )
+            chained = collapsed.withColumn("_nt", F.lead("ts").over(wv)).drop("_pd")
+            re_sat = chained.select(
+                *[
+                    F.col("ts").alias("valid_from")
+                    if c == "valid_from"
+                    else F.col("_nt").cast("timestamp").alias("valid_to")
+                    if c == "valid_to"
+                    else F.col("seq").alias("src_seq")
+                    if c == "src_seq"
+                    else F.col(c)
+                    for c in sat_cols
+                ],
+                F.col(BUCKET_COL),
+            )
+            hist_tbl.replace_buckets(
+                stale_buckets,
+                re_sat.filter(F.col("valid_to").isNotNull()),
+                summary=summary,
+            )
+            new_current = new_current.unionByName(
+                re_sat.filter(F.col("valid_to").isNull())
+            )
+
         cur_tbl.replace_buckets(touched, new_current, summary=summary)
     finally:
-        if spill_dir:
-            _shutil.rmtree(spill_dir, ignore_errors=True)
+        for d in (spill_j, spill_w):
+            if d:
+                _shutil.rmtree(d, ignore_errors=True)
 
 
 def apply_batch(
@@ -323,6 +409,7 @@ def apply_batch(
     salt_buckets: int = 32,
     collect_metrics: bool = False,
     parallel: bool = True,
+    pit_dates: list[str] | None = None,
 ) -> dict:
     """Apply one changelog micro-batch to the vault (idempotent).
 
@@ -417,6 +504,15 @@ def apply_batch(
             for tbl, src, key, cols in tasks:
                 _insert_new_keys(tbl, src, key, cols, epoch_id, stream_id, summary)
             _apply_satellite(vault, sat_src, epoch_id, stream_id, summary)
+        if pit_dates:
+            # maintain PIT snapshots incrementally while the prepared batch
+            # (with its already-computed hash keys) is still cached — no
+            # second Arrow hashing pass over the raw batch
+            from dvx.pit import build_pit_incremental
+
+            touched_keys = prepared.select("turn_hash_key").distinct()
+            for d in pit_dates:
+                build_pit_incremental(vault, d, touched_keys)
         return {"events": n, "extras": desc_extras, "bucket_counts": bucket_counts}
     finally:
         prepared.unpersist()

@@ -94,12 +94,14 @@ def build_pit_incremental(
     touched_buckets = [r[0] for r in bucketed.select("_bucket").distinct().collect()]
     if not touched_buckets:
         return 0
+    # no forced broadcast of the key set: a backfill micro-batch can carry
+    # millions of keys — plain joins let AQE pick broadcast when it fits
     sat = vault.sat_all(buckets=touched_buckets).join(
-        F.broadcast(keys), "turn_hash_key", "left_semi"
+        keys, "turn_hash_key", "left_semi"
     )
     fresh = _pit_frame(vault, snapshot_date, sat)
     old = vault.pit_turn.read(partitions=[snapshot_date]).join(
-        F.broadcast(keys), "turn_hash_key", "left_anti"
+        keys, "turn_hash_key", "left_anti"
     )
     vault.pit_turn.overwrite_partitions(old.unionByName(fresh))
     return 1
@@ -149,7 +151,9 @@ def build_bridge(vault: Vault) -> DataFrame:
         F.col("valid_to").isNull() & F.col("is_deleted").isNull()
     )
     return (
-        link.join(F.broadcast(hub_c), "conv_hash_key")
+        # hub_conversation is NOT force-broadcast: one row per conversation
+        # is unbounded at 10^10 events — AQE broadcasts when it fits
+        link.join(hub_c, "conv_hash_key")
         .join(hub_t, "turn_hash_key")
         .drop("_tc")
         .join(sat_cur.select("turn_hash_key", "role", "text", "tool"), "turn_hash_key")

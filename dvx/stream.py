@@ -81,18 +81,8 @@ def ingest_batch(
         stream_id=stream_id,
         salt_buckets=salt_buckets,
         collect_metrics=log_lineage,
+        pit_dates=pit_dates,
     )
-    if pit_dates:
-        from dvx.hashing import turn_key_hashes
-        from dvx.pit import build_pit_incremental
-
-        touched = batch.select(
-            turn_key_hashes("conv_id", "turn_idx")["turn_hash_key"].alias(
-                "turn_hash_key"
-            )
-        ).distinct()
-        for d in pit_dates:
-            build_pit_incremental(vault, d, touched)
     if log_lineage:
         # ONE lineage append per epoch: per-bucket metric rows + the
         # COMPLETED row together (north_rule per-partition lineage, at a
@@ -166,10 +156,24 @@ def run_stream(
 
 def write_changelog_files(changelog: DataFrame, out_dir: str, n_files: int) -> None:
     """Materialize a changelog as N seq-ordered parquet files (the
-    deterministic micro-batch boundaries for replay tests/bench)."""
+    deterministic micro-batch boundaries for replay tests/bench).
+
+    The Structured Streaming file source orders files by modification
+    time; parquet part files written in one job share an mtime, so tie
+    order (and therefore batch order) would be nondeterministic — the
+    round-1 flaky-PIT root cause. Stamp strictly increasing mtimes in
+    part-file (= seq-range) order so replay order is deterministic."""
+    import os as _os
+    import time as _time
+
     (
         changelog.repartitionByRange(n_files, F.col("seq"))
         .sortWithinPartitions("seq")
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+    parts = sorted(f for f in _os.listdir(out_dir) if f.endswith(".parquet"))
+    base = _time.time() - 2 * len(parts)
+    for i, fn in enumerate(parts):
+        t = base + 2 * i
+        _os.utime(_os.path.join(out_dir, fn), (t, t))

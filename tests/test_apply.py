@@ -102,6 +102,52 @@ def test_out_of_order_batches_converge(spark, tmp_path, changelog):
     assert_frames_equal(current_state(vault), oracle_state(changelog))
 
 
+def full_history(vault):
+    return vault.sat_all().select(
+        "turn_hash_key", "hash_diff", "valid_from", "valid_to", "is_deleted",
+        "src_seq",
+    ).orderBy("turn_hash_key", "valid_from", "src_seq")
+
+
+def test_out_of_order_batches_full_history_and_pit(spark, tmp_path, changelog):
+    """Round-1 defect regression: a version arriving AFTER a newer one has
+    been applied must be spliced into the SCD2 chain (not dropped), so the
+    full history AND a past-as-of PIT equal the one-shot build."""
+    from dvx.pit import build_pit
+
+    pit_date = "2024-01-02"  # mid-stream: excludes part of the update tail
+
+    vault = make_vault(spark, tmp_path)
+    batches = split_batches(changelog, 5)
+    for b in [batches[3], batches[1], batches[4], batches[0], batches[2]]:
+        apply_batch(vault, b)
+    build_pit(vault, pit_date)
+
+    oracle_vault = Vault(spark, str(tmp_path / "wh_oracle"), num_buckets=4)
+    oracle_vault.create_all_tables()
+    apply_batch(oracle_vault, changelog)
+    build_pit(oracle_vault, pit_date)
+
+    assert_frames_equal(full_history(vault), full_history(oracle_vault))
+    pit_cols = ["turn_hash_key", "conv_id", "turn_idx", "role", "text", "tool"]
+    assert_frames_equal(
+        vault.pit_turn.read(partitions=[pit_date]).select(*pit_cols).orderBy("turn_hash_key"),
+        oracle_vault.pit_turn.read(partitions=[pit_date]).select(*pit_cols).orderBy("turn_hash_key"),
+    )
+    # SCD2 invariants hold after out-of-order splice
+    sat = vault.sat_all()
+    live = sat.filter(F.col("valid_to").isNull()).groupBy("turn_hash_key").count()
+    assert live.filter("count > 1").count() == 0
+    versions = sat.filter(F.col("valid_to").isNotNull())
+    bad = versions.alias("v").join(
+        sat.alias("s"),
+        (F.col("v.turn_hash_key") == F.col("s.turn_hash_key"))
+        & (F.col("v.valid_to") == F.col("s.valid_from")),
+        "left_anti",
+    )
+    assert bad.count() == 0
+
+
 def test_scd2_invariants(spark, tmp_path, changelog):
     vault = make_vault(spark, tmp_path)
     for i, b in enumerate(split_batches(changelog, 5)):

@@ -121,8 +121,8 @@ def test_brute_force_topk_shapes_and_self_exclusion(spark, emb):
 
 def test_lsh_ann_recall_vs_brute_force(spark, emb):
     # random 64-dim embeddings are near-orthogonal, so few planes: the
-    # generator is hash-deterministic => recall is a fixed number (8/24
-    # at 2 planes on this fixture), not a flaky sample
+    # hyperplanes are md5-deterministic => recall is a fixed number on
+    # this fixture, not a flaky sample
     queries = emb.limit(8)
     exact = brute_force_topk(emb, queries, k=3)
     approx = lsh_ann(emb, queries, k=3, num_planes=2)
@@ -134,6 +134,17 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in cos_e:
             assert r.cos == cos_e[(r.query_id, r.neighbor_id)]
+
+
+def test_lsh_banding_improves_recall(spark, emb):
+    # more signature tables => strictly more candidate pairs => recall
+    # monotonically non-decreasing, and strictly better on this fixture
+    queries = emb.limit(8)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=3).collect()}
+    one = {(r.query_id, r.neighbor_id) for r in lsh_ann(emb, queries, k=3, num_planes=4, num_tables=1).collect()}
+    four = {(r.query_id, r.neighbor_id) for r in lsh_ann(emb, queries, k=3, num_planes=4, num_tables=4).collect()}
+    assert len(exact & four) > len(exact & one)
+    assert len(exact & four) >= len(exact) // 3  # 9/24 on this fixture
 
 
 def test_ivf_multiprobe_beats_single_bucket(spark, emb):

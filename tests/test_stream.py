@@ -90,6 +90,42 @@ def test_incremental_pit_per_microbatch_equals_full_rebuild(spark, tmp_path, cha
     )
 
 
+def test_shuffled_file_order_matches_oracle_with_incremental_pit(
+    spark, tmp_path, changelog
+):
+    """Adversarial replay order: stamp the changelog files' mtimes in
+    REVERSED seq order so the streaming file source processes the newest
+    changes first. The satellite's out-of-order re-chain must still
+    converge to the one-shot state, including the per-micro-batch
+    incremental PIT for a past as-of date (round-1 flaky-loss regression)."""
+    import os
+
+    from dvx.pit import build_pit
+
+    pit_date = "2024-01-02"
+    vault = make_vault(spark, tmp_path)
+    cdir = str(tmp_path / "changelog")
+    write_changelog_files(changelog, cdir, n_files=4)
+    # reverse the deterministic mtime order: part-0003 (highest seqs) first
+    parts = sorted(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+    base = os.path.getmtime(os.path.join(cdir, parts[0]))
+    for i, fn in enumerate(reversed(parts)):
+        os.utime(os.path.join(cdir, fn), (base + 2 * i, base + 2 * i))
+    run_stream(vault, cdir, str(tmp_path / "ckpt"), log_lineage=False,
+               pit_dates=[pit_date])
+    assert_frames_equal(current_state(vault), oracle_state(changelog))
+
+    oracle_vault = Vault(spark, str(tmp_path / "wh2"), num_buckets=4)
+    oracle_vault.create_all_tables()
+    ingest_batch(oracle_vault, changelog, epoch_id=0, log_lineage=False)
+    build_pit(oracle_vault, pit_date)
+    cols = ["turn_hash_key", "conv_id", "turn_idx", "role", "text", "tool"]
+    assert_frames_equal(
+        vault.pit_turn.read(partitions=[pit_date]).select(*cols).orderBy("turn_hash_key"),
+        oracle_vault.pit_turn.read(partitions=[pit_date]).select(*cols).orderBy("turn_hash_key"),
+    )
+
+
 def test_epochs_recorded_in_snapshots(spark, tmp_path, changelog):
     vault = make_vault(spark, tmp_path)
     ingest_batch(vault, changelog.limit(100), epoch_id=7, log_lineage=False)

@@ -25,15 +25,54 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
+    # type-STRICT: a Decimal stays a Decimal (normalized), so a DuckDB
+    # HUGEINT/DECIMAL sum vs a Spark BIGINT sum is a mismatch here, exactly
+    # as the driver's value-hash sees it (round-1 lesson: canonicalizing
+    # Decimal->float masked three hash failures)
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return ("dec", str(v.normalize()))
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        return ("float", "NaN" if math.isnan(v) else repr(v))
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+        return ("date", v.isoformat())
     return v
+
+
+_TYPE_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "varchar": "str",
+    "boolean": "bool", "date": "date", "timestamp": "ts",
+}
+
+
+def _spark_type_class(dt_name: str) -> str:
+    base = dt_name.split("(")[0].lower()
+    if base.startswith("decimal"):
+        return "dec"
+    return _TYPE_CLASS.get(base, base)
+
+
+def _duck_type_class(tname: str) -> str:
+    t = tname.lower()
+    if t.startswith("decimal") or t in ("hugeint", "uhugeint"):
+        return "dec"
+    if t in ("tinyint", "smallint", "integer", "bigint", "utinyint",
+             "usmallint", "uinteger", "ubigint"):
+        return "int"
+    if t in ("float", "real", "double"):
+        return "float"
+    if t in ("varchar", "string"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "ts"
+    return _TYPE_CLASS.get(t, t)
 
 
 def row_key(row, cols_sorted, colidx):
@@ -68,9 +107,10 @@ def main():
             print(f"[rows-only] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = {c: _duck_type_class(str(t)) for c, t in zip(dcols, rel.types)}
+            drows = rel.fetchall()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL-duck] {name}: {e}")
@@ -78,6 +118,15 @@ def main():
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
+        else:
+            stypes = {c: _spark_type_class(t) for c, t in sdf.dtypes}
+            badt = [
+                f"{c}: spark {stypes[c]} vs duckdb {dtypes[c]}"
+                for c in scols
+                if stypes[c] != dtypes[c]
+            ]
+            if badt:
+                problems.append("dtype mismatch " + "; ".join(badt))
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if not problems:
