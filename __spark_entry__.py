@@ -45,7 +45,7 @@ _VAULTS: dict[str, object] = {}
 
 # bump whenever replay semantics / logged artifacts change: a warehouse
 # built by an older code revision is rebuilt instead of silently reused
-_BUILD_TAG = "dvx-entry-v3"
+_BUILD_TAG = "dvx-entry-v4"  # v4: delta manifests + spill-fed apply
 
 
 def _is_built(marker: str) -> bool:
@@ -348,6 +348,68 @@ def q_gold_dim_date(spark, sf_dir):
     return build_dim_date(spark, "1998-01-01", "1998-03-31")
 
 
+def q_gold_dim_conversation(spark, sf_dir):
+    """Gold SCD2 dimension maintained by hash-diff merge passes (J10,
+    SCDType2Handler.scala:65-337 intended semantics): pass 1 snapshots the
+    conversation attrs live as of B1, pass 2 the final state — changed
+    conversations carry an end-dated v1 + a current v2."""
+    from dvx.gold import build_dim_conversation
+
+    v = _get_vault(spark, sf_dir)
+    dim = build_dim_conversation(v, [(B1, B1), ("2999-01-01 00:00:00", B2)])
+    return dim.select(
+        "conv_id",
+        "n_turns",
+        "last_role",
+        "has_tool",
+        "total_chars",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from_s"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to_s"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+def q_gold_fact_turn(spark, sf_dir):
+    """Gold fact with the dim_date ROLE-PLAYING join (J7,
+    DimensionalModelETL.scala:556-583): calendar attrs of both date roles
+    come from the aliased dim_date joins, so a join defect would surface
+    as NULL years here."""
+    from dvx.gold import build_fact_turn
+
+    v = _get_vault(spark, sf_dir)
+    return build_fact_turn(v).select(
+        "conv_id",
+        "turn_idx",
+        "valid_date_key",
+        "valid_year",
+        "valid_quarter",
+        "created_date_key",
+        "created_year",
+        "created_month",
+        "text_chars",
+        "is_tool_turn",
+    )
+
+
+def q_view_conversation_360(spark, sf_dir):
+    """conversation_360 served from the bridge pre-join (the reference's
+    headline PIT rationale, BusinessVaultSchema.scala:365-396)."""
+    from dvx.views import create_all_views
+
+    v = _get_vault(spark, sf_dir)
+    create_all_views(v)
+    return spark.table("v_conversation_360")
+
+
+def q_view_monthly_activity(spark, sf_dir):
+    """Monthly activity trend view (SemanticModel.scala:219-284 analog)."""
+    from dvx.views import create_all_views
+
+    v = _get_vault(spark, sf_dir)
+    create_all_views(v)
+    return spark.table("v_monthly_activity")
+
+
 def q_changelog_derivation(spark, sf_dir):
     """The shared Spark/DuckDB changelog text itself (S1-scan analog)."""
     _register_views(spark, sf_dir)
@@ -471,6 +533,91 @@ _CDC_ORACLES = {
                cast(dayofweek(d) + 1 AS INT) AS day_of_week
         FROM (SELECT unnest(generate_series(DATE '1998-01-01', DATE '1998-03-31',
                                             INTERVAL 1 DAY)) AS d)""",
+    # SCD2 two-pass dimension: attrs as-of B1 vs final attrs, changed keys
+    # end-dated at B2 + re-inserted (SCDType2Handler intended semantics)
+    "gold_dim_conversation": f"""{_CL},
+        asof1 AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                         ORDER BY ts DESC, seq DESC) AS rn
+            FROM dedup WHERE ts <= TIMESTAMP '{B1}'
+          ) WHERE rn = 1 AND op <> 'D'
+        ),
+        attrs1 AS (
+          SELECT conv_id, count(*) AS n_turns, arg_max(role, turn_idx) AS last_role,
+                 max(CASE WHEN tool IS NOT NULL THEN 'Y' ELSE 'N' END) AS has_tool,
+                 CAST(sum(length(text)) AS BIGINT) AS total_chars
+          FROM asof1 GROUP BY conv_id
+        ),
+        asof2 AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                         ORDER BY ts DESC, seq DESC) AS rn
+            FROM dedup
+          ) WHERE rn = 1 AND op <> 'D'
+        ),
+        attrs2 AS (
+          SELECT conv_id, count(*) AS n_turns, arg_max(role, turn_idx) AS last_role,
+                 max(CASE WHEN tool IS NOT NULL THEN 'Y' ELSE 'N' END) AS has_tool,
+                 CAST(sum(length(text)) AS BIGINT) AS total_chars
+          FROM asof2 GROUP BY conv_id
+        ),
+        cmpd AS (
+          SELECT coalesce(a1.conv_id, a2.conv_id) AS conv_id,
+                 a1.conv_id IS NOT NULL AS in1, a2.conv_id IS NOT NULL AS in2,
+                 (a1.n_turns IS NOT DISTINCT FROM a2.n_turns
+                  AND a1.last_role IS NOT DISTINCT FROM a2.last_role
+                  AND a1.has_tool IS NOT DISTINCT FROM a2.has_tool
+                  AND a1.total_chars IS NOT DISTINCT FROM a2.total_chars) AS same,
+                 a1.n_turns AS n1, a1.last_role AS lr1, a1.has_tool AS ht1,
+                 a1.total_chars AS tc1,
+                 a2.n_turns AS n2, a2.last_role AS lr2, a2.has_tool AS ht2,
+                 a2.total_chars AS tc2
+          FROM attrs1 a1 FULL JOIN attrs2 a2 ON a1.conv_id = a2.conv_id
+        )
+        SELECT conv_id, n1 AS n_turns, lr1 AS last_role, ht1 AS has_tool,
+               tc1 AS total_chars, '{B1}' AS valid_from_s,
+               CASE WHEN NOT same THEN '{B2}' END AS valid_to_s,
+               CAST(CASE WHEN same THEN 1 ELSE 0 END AS INT) AS is_current
+        FROM cmpd WHERE in1
+        UNION ALL
+        SELECT conv_id, n2, lr2, ht2, tc2, '{B2}', NULL, 1
+        FROM cmpd WHERE in2 AND NOT same""",
+    # fact grain with both date roles: valid = current version's ts
+    # (collapse semantics => first ts of the final run), created = first
+    # ts ever seen for the key (hub load date)
+    "gold_fact_turn": f"""{_VERSIONS},
+        created AS (
+          SELECT conv_id, turn_idx, min(ts) AS cts FROM dedup GROUP BY conv_id, turn_idx
+        )
+        SELECT h.conv_id, h.turn_idx,
+               CAST(strftime(h.ts, '%Y%m%d') AS INT) AS valid_date_key,
+               CAST(year(h.ts) AS INT) AS valid_year,
+               CAST(quarter(h.ts) AS INT) AS valid_quarter,
+               CAST(strftime(c.cts, '%Y%m%d') AS INT) AS created_date_key,
+               CAST(year(c.cts) AS INT) AS created_year,
+               CAST(month(c.cts) AS INT) AS created_month,
+               CAST(length(h.text) AS BIGINT) AS text_chars,
+               CAST(CASE WHEN h.tool IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_tool_turn
+        FROM history h JOIN created c USING (conv_id, turn_idx)
+        WHERE h.valid_to_ts IS NULL AND h.op <> 'D'""",
+    "view_conversation_360": f"""{_LATEST}
+        SELECT conv_id, count(*) AS n_turns,
+               count(DISTINCT role) AS n_roles,
+               CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               arg_max(role, turn_idx) AS last_role,
+               max(turn_idx) AS max_turn_idx
+        FROM latest WHERE op <> 'D' GROUP BY conv_id""",
+    # month of valid_from = first ts of the final version run (collapse
+    # semantics), so this derives from the versions chain, not `latest`
+    "view_monthly_activity": f"""{_VERSIONS}
+        SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+               count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs,
+               CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
+        FROM history WHERE valid_to_ts IS NULL AND op <> 'D'
+        GROUP BY year(ts), month(ts)""",
 }
 
 
@@ -991,8 +1138,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_conversation_summary": q_view_conversation_summary,
         "view_tool_usage": q_view_tool_usage,
         "view_turn_churn": q_view_turn_churn,
+        "view_conversation_360": q_view_conversation_360,
+        "view_monthly_activity": q_view_monthly_activity,
         "gold_fact_summary": q_gold_fact_summary,
         "gold_dim_date": q_gold_dim_date,
+        "gold_dim_conversation": q_gold_dim_conversation,
+        "gold_fact_turn": q_gold_fact_turn,
         "q1_pricing_summary": q1_pricing_summary,
         "q2_top_customers": q2_top_customers,
         "q3_latest_order_per_customer": q3_latest_order_per_customer,

@@ -1,0 +1,107 @@
+"""Per-stage profile of one apply_batch at a given parallelism.
+
+Usage: python bench/profile_batch.py <cpus> [n_convs]
+
+Times each stage of the batch apply pipeline separately (sequential, not
+the production thread-pool overlap) so anti-scaling stages are
+attributable. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 100000
+
+    from dvx.apply import _apply_satellite, _insert_new_keys, prepare_batch
+    from dvx.changelog import synthetic_changelog
+    from dvx.schema import Vault
+    from dvx.session import get_spark
+
+    spark = get_spark(
+        app_name="dvx-profile", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    scratch = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    tmp = tempfile.mkdtemp(prefix="dvx_prof_", dir=scratch)
+    t: dict[str, float] = {}
+    cpu: dict[str, float] = {}
+
+    def _jvm_cpu() -> float:
+        """Cumulative CPU seconds of every child process (JVM + Python
+        workers), from /proc — attributes wall vs compute per stage."""
+        total = 0.0
+        tick = os.sysconf("SC_CLK_TCK")
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                total += (int(parts[11]) + int(parts[12])) / tick
+            except OSError:
+                continue
+        return total
+    try:
+        cl = synthetic_changelog(spark, n_convs=n_convs)
+        cdir = os.path.join(tmp, "cl")
+        cl.write.mode("overwrite").parquet(cdir)
+        batch = spark.read.parquet(cdir)
+        n = batch.count()
+
+        vault = Vault(spark, os.path.join(tmp, "wh"), num_buckets=max(cpus, 16))
+        vault.create_all_tables()
+
+        t0 = time.time(); c0 = _jvm_cpu()
+        pre = prepare_batch(batch)
+        pspill = os.path.join(tmp, "prepared")
+        pre.write.mode("overwrite").parquet(pspill)
+        prepared = spark.read.schema(pre.schema).parquet(pspill)
+        n_prep = prepared.count()
+        t["prepare"] = round(time.time() - t0, 2)
+        cpu["prepare"] = round(_jvm_cpu() - c0, 1)
+
+        sat_cols = [f.name for f in vault.sat_turn_text.schema().fields]
+        specs = [
+            ("hub_conv", vault.hub_conversation,
+             prepared.select("conv_hash_key", "conv_id", "load_date", "record_source"),
+             "conv_hash_key", ["conv_hash_key", "conv_id", "load_date", "record_source"]),
+            ("hub_turn", vault.hub_turn,
+             prepared.select("turn_hash_key", "conv_id", "turn_idx", "load_date", "record_source"),
+             "turn_hash_key", ["turn_hash_key", "conv_id", "turn_idx", "load_date", "record_source"]),
+            ("link", vault.link_conversation_turn,
+             prepared.select("link_hash_key", "conv_hash_key", "turn_hash_key", "load_date", "record_source"),
+             "link_hash_key", ["link_hash_key", "conv_hash_key", "turn_hash_key", "load_date", "record_source"]),
+        ]
+        for name, tbl, src, key, cols in specs:
+            t0 = time.time(); c0 = _jvm_cpu()
+            _insert_new_keys(tbl, src, key, cols, None, "default", None)
+            t[name] = round(time.time() - t0, 2)
+            cpu[name] = round(_jvm_cpu() - c0, 1)
+
+        sat_src = prepared.select(
+            *[c for c in sat_cols if c not in ("valid_from", "valid_to", "src_seq")],
+            "ts", "seq", "_next_ts",
+        )
+        t0 = time.time(); c0 = _jvm_cpu()
+        _apply_satellite(vault, sat_src, None, "default", None)
+        t["satellite"] = round(time.time() - t0, 2)
+        cpu["satellite"] = round(_jvm_cpu() - c0, 1)
+
+        print(json.dumps({"cpus": cpus, "events": n, "prepared": n_prep, "stages": t,
+                          "cpu_sec": cpu, "total": round(sum(t.values()), 2)}))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,8 +100,11 @@ def prepare_batch(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
     # The chain window below requires exactly this clustering, so Catalyst
     # reuses the exchange — one shuffle total, same as before, but the
     # UDFs now run at full width.
+    # Measured (synth100000, 4 micro-batches): without this, 16 cores run
+    # SLOWER than 4 (14.2k vs 19.7k ev/s); with it, 16 cores win (22.0k vs
+    # 16.8k). The small low-core cost is the price of the high-core win.
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    df = df  # AB-TEST: repartition disabled
+    df = df.repartition(n_part, "conv_id", "turn_idx")
     enriched = (
         df.withColumn("_keys", turn_key_hashes("conv_id", "turn_idx"))
         .select("*", "_keys.*")
@@ -225,6 +228,15 @@ def _apply_satellite(
 
     import shutil as _shutil
 
+    import time as _time
+
+    _prof = os.environ.get("DVX_PROFILE_SAT") == "1"
+    _marks: list[tuple[str, float]] = [("start", _time.time())]
+
+    def _mark(label: str) -> None:
+        if _prof:
+            _marks.append((label, _time.time()))
+
     key = "turn_hash_key"
     cur_tbl = vault.sat_turn_text
     hist_tbl = vault.sat_turn_text_hist
@@ -236,6 +248,7 @@ def _apply_satellite(
     spill_j = spill_w = None
     try:
         touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
+        _mark("touched_collect")
         if not touched:
             return
         cur = cur_tbl.with_bucket(cur_tbl.read(buckets=touched))
@@ -257,6 +270,7 @@ def _apply_satellite(
         j = src.join(cur_live, key, "left").withColumn("_stale", stale)
         spill_j = _spill_path(vault)
         j.write.mode("overwrite").parquet(spill_j)
+        _mark("spill_join")
         j = vault.spark.read.parquet(spill_j)
 
         stale_buckets = sorted(
@@ -264,6 +278,7 @@ def _apply_satellite(
             for r in j.filter("_stale").select(BUCKET_COL).distinct().collect()
         )
         fast_buckets = [b for b in touched if b not in set(stale_buckets)]
+        _mark("stale_collect")
 
         fresh = (
             F.col("_cur_diff").isNull()
@@ -288,6 +303,7 @@ def _apply_satellite(
         # new current): spill once so the window isn't recomputed per plan
         spill_w = _spill_path(vault)
         winners.write.mode("overwrite").parquet(spill_w)
+        _mark("spill_winners")
         winners = vault.spark.read.parquet(spill_w)
 
         def as_sat(df: DataFrame, valid_to) -> DataFrame:
@@ -329,6 +345,7 @@ def _apply_satellite(
         # is unchanged) and the epoch guard skips the duplicate append
         if epoch_id is None or hist_tbl.last_epoch(stream_id) < epoch_id:
             hist_tbl.append(hist_rows, summary=summary)
+        _mark("hist_append")
 
         kept = cur_fast.join(enders, key, "left_anti").select(*sat_cols, BUCKET_COL)
         new_current = kept.unionByName(as_sat(finals, F.lit(None).cast("timestamp")))
@@ -395,6 +412,10 @@ def _apply_satellite(
             )
 
         cur_tbl.replace_buckets(touched, new_current, summary=summary)
+        _mark("replace_current")
+        if _prof:
+            deltas = {b: round(tb - ta, 2) for (_, ta), (b, tb) in zip(_marks, _marks[1:])}
+            print(f"DVX_PROFILE_SAT {deltas}", flush=True)
     finally:
         for d in (spill_j, spill_w):
             if d:
@@ -413,22 +434,34 @@ def apply_batch(
 ) -> dict:
     """Apply one changelog micro-batch to the vault (idempotent).
 
-    The prepared batch is persisted once and feeds all four merges (the
-    reference re-reads staging per entity; we don't). The four table
-    merges are independent, so they run as concurrent driver-thread jobs
-    sharing the executors — the per-batch fixed overhead (scheduling,
-    commit latency) overlaps instead of summing, which matters most for
-    small/frequent micro-batches.
+    The prepared batch is materialized ONCE as scratch parquet and feeds
+    all four merges (the reference re-reads staging per entity; we
+    don't). Parquet spill instead of ``persist()``: downstream consumers
+    are column-disjoint (hubs/link read 3-5 narrow key columns, only the
+    satellite reads ``text``), so column-pruned parquet reads do strictly
+    less decompression than columnar-cache scans — and the block-manager
+    eviction race under concurrent jobs at high core counts made cached
+    replays bimodal (measured: identical profile runs at local[16]
+    swinging 43s ↔ 172s wall / 470 ↔ 2000 CPU-sec with persist(); spill
+    reads are deterministic). The four table merges are independent, so
+    they run as concurrent driver-thread jobs sharing the executors — the
+    per-batch fixed overhead (scheduling, commit latency) overlaps
+    instead of summing, which matters most for small/frequent
+    micro-batches.
 
     ``collect_metrics`` additionally returns per-bucket row counts (one
-    small agg on the cached batch) for the lineage table.
+    small agg on the spilled batch) for the lineage table.
     """
+    import shutil as _shutil
     from concurrent.futures import ThreadPoolExecutor
 
     from dvx.evolve import evolve_for_batch
 
     desc_extras = evolve_for_batch(vault, batch)
-    prepared = prepare_batch(batch, salt_buckets).persist()
+    spill = _spill_path(vault)
+    pre = prepare_batch(batch, salt_buckets)
+    pre.write.mode("overwrite").parquet(spill)
+    prepared = vault.spark.read.schema(pre.schema).parquet(spill)
     try:
         summary = {"epochs": {stream_id: epoch_id}} if epoch_id is not None else None
 
@@ -515,4 +548,4 @@ def apply_batch(
                 build_pit_incremental(vault, d, touched_keys)
         return {"events": n, "extras": desc_extras, "bucket_counts": bucket_counts}
     finally:
-        prepared.unpersist()
+        _shutil.rmtree(spill, ignore_errors=True)

@@ -14,13 +14,34 @@ Layout::
     <root>/_log/v0000000001.json      one manifest per snapshot
     <root>/data/c0000000002/_p=<k>/*.parquet   data files of commit 2
 
-A snapshot manifest carries the full file map ``{partition_key: [relative
-file paths]}`` plus the table schema and a summary (including the
+A snapshot manifest carries the table schema, a summary (including the
 per-stream max committed epoch — the exactly-once handshake used by
-dvx.stream). The *latest* snapshot is simply the max version in ``_log``;
-commits are atomic via ``os.link`` (fails if the target version already
-exists → optimistic-concurrency retry), mirroring Iceberg's atomic
+dvx.stream), and the file map ``{partition_key: [relative file paths]}``
+in one of two forms:
+
+- a **checkpoint** manifest embeds the full map (``"files"``), written
+  every ``_CHECKPOINT_EVERY`` commits and at create/rollback/evolution;
+- a **delta** manifest records only the touched keys (``"files_set"`` /
+  ``"files_drop"`` against its immediate predecessor), so commit
+  metadata is O(touched partitions), not O(total files) — the same
+  shape as Iceberg's per-snapshot manifest lists / Delta's JSON actions
+  + periodic checkpoints. Readers resolve a delta by walking back to
+  the nearest checkpoint (≤ ``_CHECKPOINT_EVERY`` hops, memoized in
+  ``_SNAP_CACHE``; manifests are immutable so the cache is safe).
+
+The *latest* snapshot is simply the max version in ``_log``; commits are
+atomic via ``os.link`` (fails if the target version already exists →
+optimistic-concurrency retry), mirroring Iceberg's atomic
 metadata-pointer swap which is likewise driver-side.
+
+Object-store note (what changes off POSIX): ``os.link`` atomicity maps
+to a conditional PUT (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=
+0``) or a commit mutex in a transactional KV (the Delta/S3 LogStore and
+Iceberg catalog-pointer patterns); directory listings are already never
+used for data (explicit file lists from the manifest), and ``_versions``
+becomes a prefix listing of ``_log/`` — bounded by ``expire_snapshots``,
+which also rewrites the oldest retained delta as a checkpoint so expired
+bases can be dropped.
 
 Scale design
 ------------
@@ -52,6 +73,14 @@ from pyspark.sql.types import StructType
 
 _PHYS = "_p"  # physical layout column (dropped from data files by partitionBy)
 BUCKET_COL = "_bucket"
+
+#: a full ("checkpoint") manifest is written every N commits; the others
+#: are deltas against their immediate predecessor
+_CHECKPOINT_EVERY = 16
+
+#: resolved-manifest memo, keyed (table_root, version). Manifests are
+#: immutable once committed, so entries never go stale.
+_SNAP_CACHE: dict[tuple[str, int], dict] = {}
 
 __all__ = ["LakeTable", "BUCKET_COL", "CommitConflict"]
 
@@ -132,12 +161,36 @@ class LakeTable:
             raise FileNotFoundError(f"no such lake table: {self.root}")
         return vs[-1]
 
-    def snapshot(self, version: int | None = None) -> dict:
-        """Manifest at ``version`` (latest if None) — Iceberg time travel
-        ``VERSION AS OF`` analog (IcebergWriter.scala:248-250)."""
-        v = self.version() if version is None else version
+    def _read_manifest(self, v: int) -> dict:
         with open(os.path.join(_log_dir(self.root), f"v{v:010d}.json")) as f:
             return json.load(f)
+
+    def snapshot(self, version: int | None = None) -> dict:
+        """Resolved manifest at ``version`` (latest if None) — Iceberg time
+        travel ``VERSION AS OF`` analog (IcebergWriter.scala:248-250).
+        Delta manifests are folded onto their base checkpoint; the result
+        always carries the full ``files`` map."""
+        v = self.version() if version is None else version
+        key = (self.root, v)
+        cached = _SNAP_CACHE.get(key)
+        if cached is not None:
+            return cached
+        m = self._read_manifest(v)
+        if "files" not in m:  # delta: fold onto predecessor
+            base = self.snapshot(m["delta_base"])
+            files = dict(base["files"])
+            for k in m.get("files_drop", []):
+                files.pop(k, None)
+            files.update(m.get("files_set", {}))
+            m = {
+                k: val for k, val in m.items()
+                if k not in ("files_set", "files_drop", "delta_base")
+            }
+            m["files"] = files
+        if len(_SNAP_CACHE) > 512:
+            _SNAP_CACHE.clear()
+        _SNAP_CACHE[key] = m
+        return m
 
     def history(self) -> list[dict]:
         """All snapshot summaries, oldest first (``table.snapshots`` analog,
@@ -411,9 +464,17 @@ class LakeTable:
             "bucket_cols": m["bucket_cols"],
             "partition_col": m["partition_col"],
             "properties": m.get("properties", {}),
-            "files": files,
             "summary": s,
         }
+        if (v + 1) % _CHECKPOINT_EVERY == 0:
+            manifest["files"] = files  # checkpoint: full map
+        else:
+            old = m["files"]
+            manifest["delta_base"] = v
+            manifest["files_set"] = {
+                k: ps for k, ps in files.items() if old.get(k) != ps
+            }
+            manifest["files_drop"] = [k for k in old if k not in files]
         return self._commit(v, manifest)
 
     # ----------------------------------------------------- exactly-once API
@@ -469,6 +530,19 @@ class LakeTable:
         for v in keep:
             for ps in self.snapshot(v)["files"].values():
                 live.update(ps)
+        # the oldest retained manifest may be a delta whose base is about
+        # to be expired: rewrite it as a checkpoint (resolved full map)
+        # so the retained chain stays self-contained
+        oldest = keep[0]
+        if "files" not in self._read_manifest(oldest):
+            full = dict(self.snapshot(oldest))
+            d = _log_dir(self.root)
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(full, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(d, f"v{oldest:010d}.json"))
         removed = 0
         for v in expire:
             for ps in self.snapshot(v)["files"].values():

@@ -62,11 +62,49 @@ def create_all_views(vault: Vault) -> list[str]:
         .createOrReplaceTempView("v_turn_churn")
     )
 
+    # conversation_360: the reference's headline PIT-rationale view
+    # (BusinessVaultSchema.scala:365-396, SemanticModel.scala:138-218) —
+    # served from the bridge PRE-JOIN (link ⋈ hub ⋈ hub ⋈ current-sat),
+    # not re-derived from raw satellites, so a BI hit pays one pre-joined
+    # scan + one agg instead of the 3-way join (the claimed 5-20× win).
+    from dvx.pit import build_bridge
+
+    (
+        build_bridge(vault)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("role").alias("n_roles"),
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_turns"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.max_by("role", "turn_idx").alias("last_role"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .createOrReplaceTempView("v_conversation_360")
+    )
+
+    # monthly activity trend (SemanticModel.scala:219-284 analog): current
+    # state bucketed by valid_from calendar month
+    (
+        current.groupBy(
+            F.year("valid_from").alias("year"), F.month("valid_from").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_turns"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .createOrReplaceTempView("v_monthly_activity")
+    )
+
     hub_c.createOrReplaceTempView("v_hub_conversation")
     return [
         "v_current_turns",
         "v_conversation_summary",
         "v_tool_usage",
         "v_turn_churn",
+        "v_conversation_360",
+        "v_monthly_activity",
         "v_hub_conversation",
     ]

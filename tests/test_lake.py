@@ -158,3 +158,35 @@ def test_bucket_pruned_read(spark, tbl):
     pruned = tbl.read(buckets=[one])
     assert pruned.count() < 20
     assert "k7" in {r.k for r in pruned.collect()}
+
+
+def test_delta_manifests_and_checkpoints(spark, tbl):
+    """Commits between checkpoints are delta manifests (O(touched keys)
+    metadata); resolution folds them onto the checkpoint and time travel
+    still sees every version."""
+    from dvx.lake import _CHECKPOINT_EVERY
+
+    for i in range(_CHECKPOINT_EVERY + 3):  # cross one checkpoint boundary
+        tbl.append(_df(spark, [(f"k{i}", i)]))
+    raw = {v: tbl._read_manifest(v) for v in tbl._versions()}
+    deltas = [v for v, m in raw.items() if "files" not in m]
+    fulls = [v for v, m in raw.items() if "files" in m]
+    assert deltas, "expected delta manifests between checkpoints"
+    assert _CHECKPOINT_EVERY in fulls, "checkpoint version must embed full map"
+    # a delta's metadata is O(touched): exactly the appended key's bucket
+    assert all(len(raw[v].get("files_set", {})) <= 2 for v in deltas)
+    # resolution: latest sees all rows; a mid-chain delta version resolves too
+    assert tbl.read().count() == _CHECKPOINT_EVERY + 3
+    mid = deltas[len(deltas) // 2]
+    assert tbl.read(version=mid).count() == mid - 1  # v1=create, each append +1
+
+
+def test_expire_rewrites_oldest_delta_as_checkpoint(spark, tbl):
+    for i in range(8):
+        tbl.append(_df(spark, [(f"k{i}", i)]))
+    tbl.expire_snapshots(retain_last=3)
+    vs = tbl._versions()
+    assert len(vs) == 3
+    assert "files" in tbl._read_manifest(vs[0])  # self-contained chain
+    assert tbl.read().count() == 8
+    assert tbl.read(version=vs[0]).count() == vs[0] - 1
