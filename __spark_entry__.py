@@ -45,7 +45,7 @@ _VAULTS: dict[str, object] = {}
 
 # bump whenever replay semantics / logged artifacts change: a warehouse
 # built by an older code revision is rebuilt instead of silently reused
-_BUILD_TAG = "dvx-entry-v4"  # v4: delta manifests + spill-fed apply
+_BUILD_TAG = "dvx-entry-v5"  # v5: narrow-chain satellite/PIT, fused hashing
 
 
 def _is_built(marker: str) -> bool:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -36,17 +37,51 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def canary() -> float:
+    """Single-core busy-loop score (M iters/sec) — a host-health probe.
+
+    The sandbox is multi-tenant: identical runs were measured swinging 3x
+    (e.g. 13.0k vs 39.1k ev/s) purely with host state. Trials taken while
+    the canary is depressed measure the neighbors, not the engine, so
+    each trial pair is gated on canary >= CANARY_GATE x best-seen."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2.0:
+        x += 1
+    return x / 2.0 / 1e6
+
+
+CANARY_GATE = float(os.environ.get("DVX_CANARY_GATE", "0.90"))
+CANARY_WAIT_S = int(os.environ.get("DVX_CANARY_WAIT_S", "1800"))
+
+
+def wait_healthy(best: float) -> tuple[float, float]:
+    """Block until the host canary recovers to >= CANARY_GATE*best (or the
+    wait budget runs out). Returns (score, updated best)."""
+    deadline = time.time() + CANARY_WAIT_S
+    while True:
+        s = canary()
+        best = max(best, s)
+        if s >= CANARY_GATE * best or time.time() > deadline:
+            return s, best
+        time.sleep(45)
+
+
 def run_bench(sf_dir: str, cpus: int, synth_convs: int = 0) -> dict:
+    """One bench.py run pinned to exactly `cpus` physical cores.
+
+    taskset confines the WHOLE process tree (JVM + pyspark Python
+    workers + GC/shuffle threads) — local[N] alone caps only task slots,
+    and the untracked helpers leak onto extra host cores, which flatters
+    the small-N side of the comparison. Pinning emulates what a real
+    N-core executor host provides."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
     if synth_convs:
         env["DVX_SYNTH_CONVS"] = str(synth_convs)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1]
     return json.loads(line)
 
@@ -57,9 +92,18 @@ def main() -> None:
     synth = int(sys.argv[3]) if len(sys.argv) > 3 else 300000
     trials = int(os.environ.get("DVX_BENCH_TRIALS", "3"))
     # interleave N / 4N trials so machine-level drift (shared VM, page
-    # cache, thermal) hits both levels equally instead of one side
-    rs_n, rs_4n = [], []
+    # cache, thermal) hits both levels equally instead of one side, and
+    # gate each pair on the host-health canary
+    rs_n, rs_4n, canaries = [], [], []
+    # seed the ratchet with spaced probes so a degraded first sample
+    # doesn't define "healthy" down
+    best = canary()
+    for _ in range(2):
+        time.sleep(20)
+        best = max(best, canary())
     for _ in range(trials):
+        score, best = wait_healthy(best)
+        canaries.append(round(score, 1))
         rs_n.append(run_bench(sf_dir, n, synth))
         rs_4n.append(run_bench(sf_dir, 4 * n, synth))
     med = lambda rs: sorted(rs, key=lambda r: r["value"])[len(rs) // 2]  # noqa: E731
@@ -75,6 +119,7 @@ def main() -> None:
         "throughput_4N": r_4n["value"],
         "trials_N": r_n.get("trial_values", [r_n["value"]]),
         "trials_4N": r_4n.get("trial_values", [r_4n["value"]]),
+        "canary_scores": canaries,
         "scaling_efficiency": round(eff, 3),
         "events": r_n["events"],
         "queries_N": r_n["queries"],
@@ -90,6 +135,12 @@ Input: deterministic synthetic transcript changelog ({r_n['events']:,} change ev
 {r_n['batches']} micro-batches; `synthetic_changelog(n_convs={synth})` — byte-identical
 at any parallelism, includes hot-conversation skew). Identical input and job at both
 parallelism levels (sandbox protocol for the N->4N executor criterion, see BASELINE.md).
+Each run is `taskset`-pinned to exactly N physical cores (local[N] alone caps only task
+slots — Python workers and JVM helper threads leak onto extra host cores, flattering the
+small-N side), and each interleaved trial pair is admitted only while a single-core
+busy-loop canary reads >= {int(CANARY_GATE*100)}% of its best observed value (the host is
+multi-tenant; identical runs measured 3x apart purely with host state — canary scores
+this run: {canaries}).
 
 | parallelism | throughput (events/sec, median of {trials} interleaved) | all trials | replay wall (s) |
 |---|---|---|---|

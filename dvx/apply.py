@@ -37,7 +37,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dvx.hashing import hash_expr_udf, turn_key_hashes
+from dvx.hashing import turn_all_hashes
 from dvx.lake import BUCKET_COL
 from dvx.schema import CHANGELOG_SCHEMA, RECORD_SOURCE, Vault
 
@@ -105,14 +105,15 @@ def prepare_batch(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
     # 16.8k). The small low-core cost is the price of the high-core win.
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     df = df.repartition(n_part, "conv_id", "turn_idx")
+    is_del = F.when(F.col("op") == "D", F.lit("Y")).cast("string")
     enriched = (
-        df.withColumn("_keys", turn_key_hashes("conv_id", "turn_idx"))
+        df.withColumn("is_deleted", is_del)
+        .withColumn(
+            "_keys",
+            turn_all_hashes("conv_id", "turn_idx", [*desc, "is_deleted"]),
+        )
         .select("*", "_keys.*")
         .drop("_keys")
-        .withColumn(
-            "is_deleted", F.when(F.col("op") == "D", F.lit("Y")).cast("string")
-        )
-        .withColumn("hash_diff", hash_expr_udf(*desc, "is_deleted"))
         .withColumn("load_date", F.date_format("ts", "yyyy-MM-dd"))
         .withColumn("record_source", F.lit(RECORD_SOURCE))
     )
@@ -264,12 +265,17 @@ def _apply_satellite(
             (F.col("ts") < F.col("_cur_vf"))
             | ((F.col("ts") == F.col("_cur_vf")) & (F.col("seq") < F.col("_cur_seq")))
         )
-        # one join pass over the batch, spilled once to scratch parquet
-        # (contention-free vs block-manager caching at high core counts);
-        # feeds stale-bucket detection, the fast path, and the re-chain
-        j = src.join(cur_live, key, "left").withColumn("_stale", stale)
+        # NARROW chain: the whole versioning decision (stale detection,
+        # fresh filter, window, no-op guard) needs only key/ts/seq/
+        # hash_diff — ~100B/row. Running it narrow keeps `text` (the bulk
+        # of a transcript row) out of the chain's shuffles and spills;
+        # full rows are re-fetched ONCE per output by a (key, ts, seq)
+        # semi-join against the prepared-batch parquet, whose scan is
+        # column-pruned per consumer.
+        src_n = src.select(key, "ts", "seq", "hash_diff", BUCKET_COL)
+        j = src_n.join(cur_live, key, "left").withColumn("_stale", stale)
         spill_j = _spill_path(vault)
-        j.write.mode("overwrite").parquet(spill_j)
+        j.write.mode("overwrite").option("compression", "uncompressed").parquet(spill_j)
         _mark("spill_join")
         j = vault.spark.read.parquet(spill_j)
 
@@ -286,7 +292,7 @@ def _apply_satellite(
             | ((F.col("ts") == F.col("_cur_vf")) & (F.col("seq") > F.col("_cur_seq")))
         )
         w = Window.partitionBy(key).orderBy("ts", "seq")
-        winners = (
+        winners_n = (
             j.filter(F.col(BUCKET_COL).isin(fast_buckets) if stale_buckets else F.lit(True))
             .filter(fresh)
             .withColumn("_rn", F.row_number().over(w))
@@ -297,14 +303,30 @@ def _apply_satellite(
                     & (F.col("_cur_diff") == F.col("hash_diff"))
                 )
             )
-            .drop("_rn")
+            .select(key, "ts", "seq")
         )
-        # winners feeds three downstream plans (history rows, end-date set,
-        # new current): spill once so the window isn't recomputed per plan
+        # winner KEYS feed three downstream plans (history rows, end-date
+        # set, new current): spill once so the window isn't recomputed
         spill_w = _spill_path(vault)
-        winners.write.mode("overwrite").parquet(spill_w)
+        winners_n.write.mode("overwrite").option("compression", "uncompressed").parquet(spill_w)
         _mark("spill_winners")
-        winners = vault.spark.read.parquet(spill_w)
+        winners_n = vault.spark.read.parquet(spill_w)
+
+        # full winner rows = src MINUS the dropped set. In steady state
+        # almost every batch row survives the chain (drops = redeliveries,
+        # stale rows, the no-op guard), so the dropped set is tiny — the
+        # anti-join broadcasts under AQE and the full-text src rows never
+        # shuffle or sort on this path. (A semi-join against winner keys
+        # is the same rows but sort-merge-joins 1.8M text rows; measured
+        # 15s vs ~3s for the downstream write at local[16].)
+        dropped_n = j.select(key, "ts", "seq").join(
+            winners_n, [key, "ts", "seq"], "left_anti"
+        )
+        spill_d = os.path.join(spill_w, "_dropped")
+        dropped_n.write.mode("overwrite").option("compression", "uncompressed").parquet(spill_d)
+        _mark("spill_dropped")
+        dropped_n = vault.spark.read.parquet(spill_d)
+        winners = src.join(dropped_n, [key, "ts", "seq"], "left_anti")
 
         def as_sat(df: DataFrame, valid_to) -> DataFrame:
             return df.select(
@@ -330,7 +352,11 @@ def _apply_satellite(
         cur_fast = (
             cur.filter(~F.col(BUCKET_COL).isin(stale_buckets)) if stale_buckets else cur
         )
-        enders = winners.groupBy(key).agg(F.min("ts").alias("_end_ts"))
+        # shuffle_hash hint: enders is a narrow key set — hashing it beats
+        # sort-merge, which would sort the full-text cur rows
+        enders = winners_n.groupBy(key).agg(F.min("ts").alias("_end_ts")).hint(
+            "shuffle_hash"
+        )
         displaced = (
             cur_fast.join(enders, key, "inner")
             .withColumn("valid_to", F.col("_end_ts"))
@@ -366,7 +392,7 @@ def _apply_satellite(
                     F.col(BUCKET_COL),
                 )
 
-            inc_re = j.filter(F.col(BUCKET_COL).isin(stale_buckets)).select(
+            inc_re = src.filter(F.col(BUCKET_COL).isin(stale_buckets)).select(
                 F.col(key), "ts", "seq", *attr_cols, F.col(BUCKET_COL)
             )
             hist_re = as_version(
@@ -411,7 +437,14 @@ def _apply_satellite(
                 re_sat.filter(F.col("valid_to").isNull())
             )
 
-        cur_tbl.replace_buckets(touched, new_current, summary=summary)
+        # the current-table rewrite is the batch's biggest single write
+        # (COW over every touched bucket): salt it across 4x writer tasks
+        n_salt = max(
+            1, vault.spark.sparkContext.defaultParallelism // max(1, len(touched)) * 4
+        )
+        cur_tbl.replace_buckets(
+            touched, new_current, summary=summary, salts=min(4, n_salt)
+        )
         _mark("replace_current")
         if _prof:
             deltas = {b: round(tb - ta, 2) for (_, ta), (b, tb) in zip(_marks, _marks[1:])}
@@ -457,11 +490,26 @@ def apply_batch(
 
     from dvx.evolve import evolve_for_batch
 
+    import time as _time
+
+    _prof = os.environ.get("DVX_PROFILE_BATCH") == "1"
+    _t0 = _time.time()
+    _pts: dict[str, float] = {}
+
+    def _pmark(label: str) -> None:
+        nonlocal _t0
+        if _prof:
+            _pts[label] = round(_time.time() - _t0, 2)
+            _t0 = _time.time()
+
     desc_extras = evolve_for_batch(vault, batch)
+    _pmark("evolve")
+    # spills are scratch on tmpfs: snappy would cost CPU with no I/O to save
     spill = _spill_path(vault)
     pre = prepare_batch(batch, salt_buckets)
-    pre.write.mode("overwrite").parquet(spill)
+    pre.write.mode("overwrite").option("compression", "uncompressed").parquet(spill)
     prepared = vault.spark.read.schema(pre.schema).parquet(spill)
+    _pmark("prepare_spill")
     try:
         summary = {"epochs": {stream_id: epoch_id}} if epoch_id is not None else None
 
@@ -476,6 +524,7 @@ def apply_batch(
             n = sum(c for _, c in bucket_counts)
         else:
             n = prepared.count()
+        _pmark("counts")
 
         sat_cols = [f.name for f in vault.sat_turn_text.schema().fields]
         tasks = [
@@ -533,6 +582,7 @@ def apply_batch(
                 )
                 for f in futs:
                     f.result()
+            _pmark("merges")
         else:
             for tbl, src, key, cols in tasks:
                 _insert_new_keys(tbl, src, key, cols, epoch_id, stream_id, summary)
@@ -546,6 +596,10 @@ def apply_batch(
             touched_keys = prepared.select("turn_hash_key").distinct()
             for d in pit_dates:
                 build_pit_incremental(vault, d, touched_keys)
+        if pit_dates:
+            _pmark("pit_incr")
+        if _prof:
+            print(f"DVX_PROFILE_BATCH {_pts}", flush=True)
         return {"events": n, "extras": desc_extras, "bucket_counts": bucket_counts}
     finally:
         _shutil.rmtree(spill, ignore_errors=True)

@@ -62,18 +62,24 @@ def build_dims(vault: Vault) -> dict[str, DataFrame]:
 def live_turns_asof(vault: Vault, ts: str) -> DataFrame:
     """Current live turns as of timestamp ``ts`` (P3 + W1 over the full
     satellite history, tombstones dropped) joined to hub_turn — the gold
-    layer's source frame for point-in-time dimension builds."""
-    from pyspark.sql.window import Window
-
+    layer's source frame for point-in-time dimension builds. The W1 pick
+    runs on narrow columns (groupBy max + hashed semi-join) so the text
+    column never sorts — same shape as dvx.pit._pit_frame."""
     sat = vault.sat_all().filter(F.col("valid_from") <= F.to_timestamp(F.lit(ts)))
-    w = Window.partitionBy("turn_hash_key").orderBy(
-        F.col("valid_from").desc(), F.col("src_seq").desc()
+    top = (
+        sat.select("turn_hash_key", "valid_from", "src_seq")
+        .groupBy("turn_hash_key")
+        .agg(F.max(F.struct("valid_from", "src_seq")).alias("_m"))
+        .select(
+            "turn_hash_key",
+            F.col("_m.valid_from").alias("valid_from"),
+            F.col("_m.src_seq").alias("src_seq"),
+        )
+        .hint("shuffle_hash")
     )
-    latest = (
-        sat.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & F.col("is_deleted").isNull())
-        .drop("_rn")
-    )
+    latest = sat.join(
+        top, ["turn_hash_key", "valid_from", "src_seq"], "left_semi"
+    ).filter(F.col("is_deleted").isNull())
     hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
     return latest.join(hub, "turn_hash_key")
 

@@ -99,6 +99,49 @@ def turn_key_hashes(conv_col: str = "conv_id", turn_col: str = "turn_idx") -> Co
     return _turn_keys_udf(_normalized(conv_col), _normalized(turn_col))
 
 
+_TURN_ALL_TYPE = StructType(
+    [
+        StructField("conv_hash_key", StringType()),
+        StructField("turn_hash_key", StringType()),
+        StructField("link_hash_key", StringType()),
+        StructField("hash_diff", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_TURN_ALL_TYPE)
+def _turn_all_udf(
+    n_conv: pd.Series, n_turn: pd.Series, n_diff: pd.Series
+) -> pd.DataFrame:
+    """Every hash a changelog row needs in ONE Arrow pass: the three
+    business keys plus the descriptive hash-diff. Two ArrowEvalPython
+    stages (keys, then diff) fuse into a single Python round trip —
+    the normalized diff concat still comes in pre-built from the JVM."""
+    md5 = lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()  # noqa: E731
+    conv_h = n_conv.map(md5)
+    turn_h = (n_conv + DELIMITER + n_turn).map(md5)
+    link_h = (conv_h.str.upper() + DELIMITER + turn_h.str.upper()).map(md5)
+    return pd.DataFrame(
+        {
+            "conv_hash_key": conv_h,
+            "turn_hash_key": turn_h,
+            "link_hash_key": link_h,
+            "hash_diff": n_diff.map(md5),
+        }
+    )
+
+
+def turn_all_hashes(
+    conv_col: str, turn_col: str, diff_cols: list[Column | str]
+) -> Column:
+    """Struct (conv_hash_key, turn_hash_key, link_hash_key, hash_diff) —
+    the fully-fused hot-path variant of :func:`turn_key_hashes` +
+    :func:`hash_expr_udf` (bit-identical outputs)."""
+    return _turn_all_udf(
+        _normalized(conv_col), _normalized(turn_col), normalized_concat(*diff_cols)
+    )
+
+
 def hash_sql(*cols: str) -> str:
     """ANSI-SQL equivalent (DuckDB-compatible) of :func:`hash_expr`,
     used by the oracle queries in __spark_entry__.py."""

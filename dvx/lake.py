@@ -309,7 +309,21 @@ class LakeTable:
                     BUCKET_COL, self._bucket_expr(manifest["num_buckets"], manifest["bucket_cols"])
                 )
             df = df.withColumn(_PHYS, F.col(BUCKET_COL).cast("string"))
-            df = df.repartition(4 * manifest["num_buckets"], F.col(_PHYS))
+            if salts > 1:
+                # spread each bucket over `salts` writer tasks: hash
+                # collisions in the bucket->task assignment otherwise idle
+                # writers while doubling others (measured 3.4s -> 2.2s for
+                # a full-table rewrite at local[16]); costs `salts` files
+                # per touched bucket per commit — compact() merges them
+                wsalt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns if c != _PHYS]),
+                    F.lit(salts),
+                )
+                df = df.repartition(
+                    4 * manifest["num_buckets"], F.col(_PHYS), wsalt.alias("_w_salt")
+                )
+            else:
+                df = df.repartition(4 * manifest["num_buckets"], F.col(_PHYS))
         else:
             if manifest["partition_col"]:
                 df = df.withColumn(_PHYS, F.col(manifest["partition_col"]).cast("string"))
@@ -428,18 +442,23 @@ class LakeTable:
                 src.unpersist()
 
     def replace_buckets(
-        self, touched: list[int], contents: DataFrame, summary: dict | None = None
+        self,
+        touched: list[int],
+        contents: DataFrame,
+        summary: dict | None = None,
+        salts: int = 1,
     ) -> int:
         """Low-level COW commit: replace the file sets of ``touched``
         buckets with ``contents`` (which must be exactly those buckets'
         new rows). merge() is this plus the read-modify step; callers
         that already computed the replacement (e.g. the satellite
-        current/history split) use this directly."""
+        current/history split) use this directly. ``salts`` > 1 widens
+        the writer stage for large rewrites (see _write_files)."""
         while True:
             v = self.version()
             m = self.snapshot(v)
             merged = self._schema_aligned(self.with_bucket(contents), m)
-            new_files = self._write_files(merged, m, v + 1)
+            new_files = self._write_files(merged, m, v + 1, salts=salts)
             files = {k: ps for k, ps in m["files"].items() if int(k) not in set(touched)}
             files.update(new_files)
             try:

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from dvx.schema import Vault
 
@@ -37,15 +36,25 @@ def _pit_frame(vault: Vault, snapshot_date: str, sat: DataFrame) -> DataFrame:
     """hub ⋈ latest-sat-version-as-of-date, projected to the PIT schema."""
     asof_end = F.to_timestamp(F.lit(snapshot_date + " 23:59:59"))
     asof = sat.filter(F.col("valid_from") <= asof_end)  # P3
-    w = Window.partitionBy("turn_hash_key").orderBy(
-        F.col("valid_from").desc(), F.col("src_seq").desc()
+    # W1 on NARROW columns: a window would sort full-width text rows; a
+    # two-phase groupBy max on (key, valid_from, src_seq) is map-side-
+    # combining and ~100B/row, and the winners come back via a hashed
+    # semi-join (shuffle_hash: the winner set is one narrow row per key —
+    # sort-merge would re-sort the text rows we just avoided sorting)
+    top = (
+        asof.select("turn_hash_key", "valid_from", "src_seq")
+        .groupBy("turn_hash_key")
+        .agg(F.max(F.struct("valid_from", "src_seq")).alias("_m"))
+        .select(
+            "turn_hash_key",
+            F.col("_m.valid_from").alias("valid_from"),
+            F.col("_m.src_seq").alias("src_seq"),
+        )
+        .hint("shuffle_hash")
     )
-    latest = (
-        asof.withColumn("_rn", F.row_number().over(w))  # W1
-        .filter(F.col("_rn") == 1)
-        .filter(F.col("is_deleted").isNull())  # tombstoned keys drop out
-        .drop("_rn")
-    )
+    latest = asof.join(
+        top, ["turn_hash_key", "valid_from", "src_seq"], "left_semi"
+    ).filter(F.col("is_deleted").isNull())  # tombstoned keys drop out
     hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
     attrs = [c for c in latest.columns if c not in _ATTR_EXCLUDE]
     pit_fields = [f.name for f in vault.pit_turn.schema().fields]

@@ -90,6 +90,22 @@ def get_spark(
         # artificial serial bottleneck a real cluster (per-executor disks)
         # doesn't have; on a cluster leave DVX_LOCAL_DIR unset
         .config("spark.local.dir", os.environ.get("DVX_LOCAL_DIR", _scratch_dir()))
+        # apply_batch runs 4 concurrent driver-thread jobs (hubs/link/sat):
+        # FIFO lets an early hub job hog all task slots while the satellite
+        # (the critical path) queues; FAIR round-robins slots across them
+        .config("spark.scheduler.mode", "FAIR")
+        # single-host shuffle lands on tmpfs: LZ4 framing is pure CPU with
+        # no I/O to save (jstack: executor threads dominated by
+        # LZ4_decompress_fast). On a network-shuffle cluster flip these
+        # back on via DVX_SHUFFLE_COMPRESS=true.
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("DVX_SHUFFLE_COMPRESS", "false"),
+        )
+        .config(
+            "spark.shuffle.spill.compress",
+            os.environ.get("DVX_SHUFFLE_COMPRESS", "false"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
