@@ -14,12 +14,18 @@ insertion into one copy-on-write merge):
    RawVaultETL.scala:204-205),
 4. satellite apply = SCD2 over a bounded CURRENT table + append-only
    HISTORY: end-date displaced versions, insert the batch-final version
-   as current; stale (out-of-order) changes are discarded by
-   (valid_from, src_seq) comparison; deletes are tombstone versions.
+   as current; stale (out-of-order) arrivals trigger a per-bucket
+   re-chain that splices them into history (one-shot semantics, nothing
+   lost); deletes are tombstone versions.
 
 Scale notes
 -----------
-- Hash computation is Arrow-vectorized (dvx.hashing), no per-row Python.
+- Hash computation is Arrow-vectorized (dvx.hashing) and fully fused:
+  all three business keys + the hash-diff in ONE Arrow round trip.
+- The SCD2 decision logic runs on narrow (key, ts, seq, hash_diff) rows;
+  full-width transcript rows never sort or shuffle through the chain —
+  they are recovered per output by an anti-join against the (tiny,
+  AQE-broadcast) dropped set.
 - The LWW collapse is the hot-key choke point at 10^10 events: a naive
   ``Window.partitionBy(conv_id, turn_idx)`` puts one hot conversation's
   whole history in one task. :func:`latest_per_key` instead does
@@ -246,7 +252,7 @@ def _apply_satellite(
     # memory store at high core counts (measured: 3 caches alive made the
     # satellite block 4x slower at local[32] than local[8])
     src = cur_tbl.with_bucket(src)
-    spill_j = spill_w = None
+    spill_j = None
     try:
         touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
         _mark("touched_collect")
@@ -273,45 +279,52 @@ def _apply_satellite(
         # semi-join against the prepared-batch parquet, whose scan is
         # column-pruned per consumer.
         src_n = src.select(key, "ts", "seq", "hash_diff", BUCKET_COL)
-        j = src_n.join(cur_live, key, "left").withColumn("_stale", stale)
-        spill_j = _spill_path(vault)
-        j.write.mode("overwrite").option("compression", "uncompressed").parquet(spill_j)
-        _mark("spill_join")
-        j = vault.spark.read.parquet(spill_j)
-
-        stale_buckets = sorted(
-            r[0]
-            for r in j.filter("_stale").select(BUCKET_COL).distinct().collect()
-        )
-        fast_buckets = [b for b in touched if b not in set(stale_buckets)]
-        _mark("stale_collect")
-
         fresh = (
             F.col("_cur_diff").isNull()
             | (F.col("ts") > F.col("_cur_vf"))
             | ((F.col("ts") == F.col("_cur_vf")) & (F.col("seq") > F.col("_cur_seq")))
         )
         w = Window.partitionBy(key).orderBy("ts", "seq")
-        winners_n = (
-            j.filter(F.col(BUCKET_COL).isin(fast_buckets) if stale_buckets else F.lit(True))
-            .filter(fresh)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(
-                ~(
-                    (F.col("_rn") == 1)
-                    & F.col("_cur_diff").isNotNull()
-                    & (F.col("_cur_diff") == F.col("hash_diff"))
-                )
-            )
-            .select(key, "ts", "seq")
+        # running count of fresh rows per key: the first fresh row (the
+        # one the old row_number guard saw as _rn == 1) has _fidx == 1.
+        # The join shuffles on `key` and the window needs exactly that
+        # clustering, so join + window + flags are ONE job — every
+        # per-row decision (_stale, _win) lands in a single narrow spill
+        # instead of three chained spill/read barriers.
+        fidx = F.sum(fresh.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        # winner KEYS feed three downstream plans (history rows, end-date
-        # set, new current): spill once so the window isn't recomputed
-        spill_w = _spill_path(vault)
-        winners_n.write.mode("overwrite").option("compression", "uncompressed").parquet(spill_w)
-        _mark("spill_winners")
-        winners_n = vault.spark.read.parquet(spill_w)
+        noop = (
+            fresh
+            & (fidx == 1)
+            & F.col("_cur_diff").isNotNull()
+            & (F.col("_cur_diff") == F.col("hash_diff"))
+        )
+        decisions = (
+            src_n.join(cur_live, key, "left")
+            .withColumn("_stale", stale)
+            .withColumn("_win", fresh & ~noop)
+            .select(key, "ts", "seq", BUCKET_COL, "_stale", "_win")
+        )
+        spill_j = _spill_path(vault)
+        decisions.write.mode("overwrite").option(
+            "compression", "uncompressed"
+        ).parquet(spill_j)
+        _mark("spill_decisions")
+        decisions = vault.spark.read.parquet(spill_j)
 
+        stale_buckets = sorted(
+            r[0]
+            for r in decisions.filter("_stale").select(BUCKET_COL).distinct().collect()
+        )
+        _mark("stale_collect")
+
+        # per-key windows are bucket-local, so excluding stale buckets
+        # AFTER the flag pass leaves fast-bucket decisions unchanged
+        in_stale = (
+            F.col(BUCKET_COL).isin(stale_buckets) if stale_buckets else F.lit(False)
+        )
+        winners_n = decisions.filter(F.col("_win") & ~in_stale)
         # full winner rows = src MINUS the dropped set. In steady state
         # almost every batch row survives the chain (drops = redeliveries,
         # stale rows, the no-op guard), so the dropped set is tiny — the
@@ -319,13 +332,7 @@ def _apply_satellite(
         # shuffle or sort on this path. (A semi-join against winner keys
         # is the same rows but sort-merge-joins 1.8M text rows; measured
         # 15s vs ~3s for the downstream write at local[16].)
-        dropped_n = j.select(key, "ts", "seq").join(
-            winners_n, [key, "ts", "seq"], "left_anti"
-        )
-        spill_d = os.path.join(spill_w, "_dropped")
-        dropped_n.write.mode("overwrite").option("compression", "uncompressed").parquet(spill_d)
-        _mark("spill_dropped")
-        dropped_n = vault.spark.read.parquet(spill_d)
+        dropped_n = decisions.filter(~F.col("_win") | in_stale).select(key, "ts", "seq")
         winners = src.join(dropped_n, [key, "ts", "seq"], "left_anti")
 
         def as_sat(df: DataFrame, valid_to) -> DataFrame:
@@ -450,7 +457,7 @@ def _apply_satellite(
             deltas = {b: round(tb - ta, 2) for (_, ta), (b, tb) in zip(_marks, _marks[1:])}
             print(f"DVX_PROFILE_SAT {deltas}", flush=True)
     finally:
-        for d in (spill_j, spill_w):
+        for d in (spill_j,):
             if d:
                 _shutil.rmtree(d, ignore_errors=True)
 

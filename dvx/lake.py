@@ -525,6 +525,24 @@ class LakeTable:
             except CommitConflict:
                 continue
 
+    def file_stats(self, version: int | None = None) -> list[dict]:
+        """Per-partition-key file statistics at a snapshot — the
+        ``table.files`` metadata-table analog (IcebergWriter.scala:
+        436-469): one row per partition key with file count and on-disk
+        bytes. Driver-side metadata walk; no Spark job."""
+        m = self.snapshot(version)
+        out = []
+        for k in sorted(m["files"]):
+            paths = m["files"][k]
+            size = 0
+            for p in paths:
+                try:
+                    size += os.path.getsize(os.path.join(self.root, p))
+                except OSError:
+                    pass
+            out.append({"partition": k, "file_count": len(paths), "bytes": size})
+        return out
+
     # ---------------------------------------------------------- maintenance
 
     def rollback(self, version: int) -> int:
