@@ -410,6 +410,15 @@ def q_view_monthly_activity(spark, sf_dir):
     return spark.table("v_monthly_activity")
 
 
+def q_view_top_tools(spark, sf_dir):
+    """Sorted top-k view (O3 view-level ORDER BY + O4 top-k)."""
+    from dvx.views import create_all_views
+
+    v = _get_vault(spark, sf_dir)
+    create_all_views(v)
+    return spark.table("v_top_tools")
+
+
 def q_changelog_derivation(spark, sf_dir):
     """The shared Spark/DuckDB changelog text itself (S1-scan analog)."""
     _register_views(spark, sf_dir)
@@ -609,6 +618,10 @@ _CDC_ORACLES = {
                arg_max(role, turn_idx) AS last_role,
                max(turn_idx) AS max_turn_idx
         FROM latest WHERE op <> 'D' GROUP BY conv_id""",
+    "view_top_tools": f"""{_LATEST}
+        SELECT tool, count(*) AS n_turns
+        FROM latest WHERE op <> 'D' AND tool IS NOT NULL
+        GROUP BY tool ORDER BY n_turns DESC, tool LIMIT 5""",
     # month of valid_from = first ts of the final version run (collapse
     # semantics), so this derives from the versions chain, not `latest`
     "view_monthly_activity": f"""{_VERSIONS}
@@ -1140,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_turn_churn": q_view_turn_churn,
         "view_conversation_360": q_view_conversation_360,
         "view_monthly_activity": q_view_monthly_activity,
+        "view_top_tools": q_view_top_tools,
         "gold_fact_summary": q_gold_fact_summary,
         "gold_dim_date": q_gold_dim_date,
         "gold_dim_conversation": q_gold_dim_conversation,

@@ -98,6 +98,17 @@ def create_all_views(vault: Vault) -> list[str]:
         .createOrReplaceTempView("v_monthly_activity")
     )
 
+    # top-k serving view WITH an ORDER BY (O3/O4: the reference's display
+    # views carry sorts, SemanticModel.scala ORDER BY clauses)
+    (
+        current.filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(F.count("*").alias("n_turns"))
+        .orderBy(F.col("n_turns").desc(), F.col("tool"))
+        .limit(5)
+        .createOrReplaceTempView("v_top_tools")
+    )
+
     hub_c.createOrReplaceTempView("v_hub_conversation")
     return [
         "v_current_turns",
@@ -106,5 +117,6 @@ def create_all_views(vault: Vault) -> list[str]:
         "v_turn_churn",
         "v_conversation_360",
         "v_monthly_activity",
+        "v_top_tools",
         "v_hub_conversation",
     ]
