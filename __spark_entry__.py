@@ -1057,9 +1057,16 @@ def _ops_oracles() -> dict[str, str]:
               UNION ALL
               SELECT doc_id, 1 AS band,
                      md5(concat_ws('~', '1', mh2, mh3)) AS bucket FROM sigs
+            ),
+            -- hot-bucket guard mirrored from dvx.ops.dedup.lsh_pairs
+            -- (max_bucket=10000): degenerate band buckets are dropped
+            bbf AS (
+              SELECT bb.* FROM bb
+              JOIN (SELECT band, bucket FROM bb GROUP BY band, bucket
+                    HAVING count(*) <= 10000) ok USING (band, bucket)
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bb a JOIN bb b
+            FROM bbf a JOIN bbf b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
         "simhash": f"""{sh5},
             hx AS (SELECT doc_id, md5(shingle) AS h FROM sh),

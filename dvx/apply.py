@@ -26,11 +26,12 @@ Scale notes
   full-width transcript rows never sort or shuffle through the chain —
   they are recovered per output by an anti-join against the (tiny,
   AQE-broadcast) dropped set.
-- The LWW collapse is the hot-key choke point at 10^10 events: a naive
-  ``Window.partitionBy(conv_id, turn_idx)`` puts one hot conversation's
-  whole history in one task. :func:`latest_per_key` instead does
-  partial ``max_by`` per (key, salt) then a final ``max_by`` per key —
-  map-side-combine shaped, so a hot key's rows reduce in parallel.
+- Hot-conversation skew: the chain window partitions by (conv_id,
+  turn_idx) — a hot conversation's events spread across its turns, so
+  no single task holds a whole hot conversation, only one turn's
+  version run (bounded by the per-turn edit count). The rows that flow
+  through that window are the narrow ~100B decision columns, so even a
+  pathological single-turn run is cheap to sort.
 - Merges rewrite only touched buckets (dvx.lake COW), and each merge_fn
   is a bucket-colocated join: both sides are filtered to the same bucket
   set before shuffling.
@@ -49,29 +50,6 @@ from dvx.schema import CHANGELOG_SCHEMA, RECORD_SOURCE, Vault
 
 DESCRIPTIVE_COLS = ["role", "text", "tool"]  # canonical satellite attrs
 _ENVELOPE = {f.name for f in CHANGELOG_SCHEMA.fields}
-
-
-def latest_per_key(
-    df: DataFrame,
-    keys: list[str],
-    order_cols: list[str],
-    salt_buckets: int = 32,
-) -> DataFrame:
-    """One row per key: the max by ``order_cols`` (lexicographic).
-
-    Two-phase aggregation (partial per salt, final per key) so a single
-    hot key reduces in ``salt_buckets``-way parallelism instead of one
-    task — the explicit skew lever the north_rule requires on top of AQE
-    skew-join handling.
-    """
-    payload = F.struct(*[F.col(c) for c in df.columns])
-    order = F.struct(*[F.col(c) for c in order_cols])
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
-    partial = df.groupBy(*keys, salt.alias("_salt")).agg(
-        F.max_by(payload, order).alias("_row"), F.max(order).alias("_ord")
-    )
-    final = partial.groupBy(*keys).agg(F.max_by("_row", "_ord").alias("_row"))
-    return final.select("_row.*")
 
 
 def descriptive_cols_of(df: DataFrame) -> list[str]:
@@ -129,29 +107,6 @@ def prepare_batch(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
     )
     # second window reuses the first's hash partitioning (same keys)
     return chained.withColumn("_next_ts", F.lead("ts").over(w)).drop("_prev_diff")
-
-
-def _insert_only_merge(key: str, select_cols: list[str]):
-    """Hub/link merge_fn: current ∪ (source ∖ current) on the hash key —
-    the J1 left-anti idempotent insert, expressed per touched bucket.
-    (COW form; the hot path uses :func:`_insert_new_keys` instead, which
-    appends only the new rows.)"""
-
-    def fn(cur: DataFrame, src: DataFrame) -> DataFrame:
-        cols = select_cols + [BUCKET_COL]
-        others = [c for c in select_cols if c != key]
-        # deterministic pick per key (min over the attr struct), not
-        # dropDuplicates' arbitrary row — replays must byte-match
-        src_rows = (
-            src.select(*cols)
-            .groupBy(key, BUCKET_COL)
-            .agg(F.min(F.struct(*others)).alias("_s"))
-            .select(key, "_s.*", BUCKET_COL)
-        )
-        new = src_rows.join(cur.select(key), key, "left_anti")
-        return cur.select(*cols).unionByName(new.select(*cols))
-
-    return fn
 
 
 def _spill_path(vault: Vault) -> str:
@@ -575,15 +530,31 @@ def apply_batch(
             "_next_ts",
         )
         if parallel:
+            # each merge thread gets its OWN fair-scheduler pool: with
+            # spark.scheduler.mode=FAIR alone, all jobs land in the
+            # default pool whose intra-pool scheduling is FIFO — an early
+            # hub job would still hog every slot. Distinct on-demand pools
+            # (default weight 1) round-robin slots across the four merges.
+            sc = vault.spark.sparkContext
+
+            def _pooled(pool: str, fn, *args):
+                sc.setLocalProperty("spark.scheduler.pool", pool)
+                try:
+                    return fn(*args)
+                finally:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
+
             with ThreadPoolExecutor(max_workers=4) as ex:
                 futs = [
                     ex.submit(
+                        _pooled, f"dvx_merge_{i}",
                         _insert_new_keys, tbl, src, key, cols, epoch_id, stream_id, summary
                     )
-                    for tbl, src, key, cols in tasks
+                    for i, (tbl, src, key, cols) in enumerate(tasks)
                 ]
                 futs.append(
                     ex.submit(
+                        _pooled, "dvx_merge_sat",
                         _apply_satellite, vault, sat_src, epoch_id, stream_id, summary
                     )
                 )

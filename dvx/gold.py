@@ -80,6 +80,15 @@ def live_turns_asof(vault: Vault, ts: str) -> DataFrame:
     latest = sat.join(
         top, ["turn_hash_key", "valid_from", "src_seq"], "left_semi"
     ).filter(F.col("is_deleted").isNull())
+    # one-row-per-key guard (same rationale as dvx.pit._pit_frame): a
+    # deterministic full-row max per key keeps the frame one-row-per-key
+    # even on anomalous satellite state with duplicated triples
+    _payload = F.struct(*[F.col(c) for c in latest.columns])
+    latest = (
+        latest.groupBy("turn_hash_key")
+        .agg(F.max(_payload).alias("_r"))
+        .select("_r.*")
+    )
     hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
     return latest.join(hub, "turn_hash_key")
 
@@ -171,7 +180,14 @@ def validate_scd2(dim: DataFrame, key: str) -> dict[str, int]:
     - ``multi_current``: keys with more than one current version;
     - ``open_history``: non-current rows with NULL valid_to;
     - ``inverted_interval``: valid_to <= valid_from;
-    - ``chain_gap``: a version's valid_to != its successor's valid_from.
+    - ``chain_overlap``: a version's valid_to > its successor's
+      valid_from (two versions claim the same instant — a defect).
+
+    ``chain_gap`` (valid_to < successor's valid_from) is reported too but
+    is NOT a violation: full-source SCD2 semantics legitimately create
+    gaps when a key disappears from one load (end-dated) and reappears in
+    a later one (re-inserted at the later load_ts) — a healthy dim can
+    have chain_gap > 0.
     """
     from pyspark.sql.window import Window
 
@@ -181,15 +197,16 @@ def validate_scd2(dim: DataFrame, key: str) -> dict[str, int]:
     open_hist = dim.filter((F.col("is_current") == 0) & F.col("valid_to").isNull()).count()
     inverted = dim.filter(F.col("valid_to") <= F.col("valid_from")).count()
     w = Window.partitionBy(key).orderBy("valid_from")
-    gaps = (
-        dim.withColumn("_nvf", F.lead("valid_from").over(w))
-        .filter(F.col("_nvf").isNotNull() & (F.col("valid_to") != F.col("_nvf")))
-        .count()
+    succ = dim.withColumn("_nvf", F.lead("valid_from").over(w)).filter(
+        F.col("_nvf").isNotNull()
     )
+    overlaps = succ.filter(F.col("valid_to") > F.col("_nvf")).count()
+    gaps = succ.filter(F.col("valid_to") < F.col("_nvf")).count()
     return {
         "multi_current": multi,
         "open_history": open_hist,
         "inverted_interval": inverted,
+        "chain_overlap": overlaps,
         "chain_gap": gaps,
     }
 

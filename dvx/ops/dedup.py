@@ -76,12 +76,20 @@ def minhash_signatures(
 
 
 def lsh_pairs(
-    sigs: DataFrame, num_hashes: int = 8, bands: int = 4
+    sigs: DataFrame, num_hashes: int = 8, bands: int = 4, max_bucket: int = 10000
 ) -> DataFrame:
     """Banded LSH candidate pairs: docs sharing any band bucket.
     bucket = md5(band ~ concat of the band's minhashes); pairs via a
     self-equi-join on (band, bucket) — shuffle keyed on the bucket, so
-    scale-out is linear in candidates, not in |docs|^2."""
+    scale-out is linear in candidates, not in |docs|^2.
+
+    ``max_bucket`` is the hot-bucket guard (the analog of
+    ``jaccard_pairs.max_df``): a degenerate band bucket — e.g. a
+    boilerplate-heavy corpus where thousands of docs share a band
+    signature — would otherwise emit O(n²) pairs in ONE join task.
+    Buckets holding more than ``max_bucket`` docs are dropped; such a
+    bucket carries no dedup signal beyond "these are all near-identical",
+    which exact_dedup already reports more cheaply."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -94,6 +102,11 @@ def lsh_pairs(
     exploded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+    bucket_df = exploded.groupBy("band", "bucket").agg(F.count("*").alias("_bdf"))
+    exploded = exploded.join(
+        bucket_df.filter(F.col("_bdf") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
     a, b_ = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(

@@ -55,6 +55,18 @@ def _pit_frame(vault: Vault, snapshot_date: str, sat: DataFrame) -> DataFrame:
     latest = asof.join(
         top, ["turn_hash_key", "valid_from", "src_seq"], "left_semi"
     ).filter(F.col("is_deleted").isNull())  # tombstoned keys drop out
+    # one-row-per-key guard: if anomalous satellite state ever holds two
+    # rows with the same (key, valid_from, src_seq) — e.g. a crash window
+    # where a displaced copy reached history before current was replaced —
+    # the semi-join passes both. A deterministic full-row max per key
+    # restores the invariant; on healthy state this agg is one row in/out
+    # per key and the following hub join reuses its key clustering.
+    _payload = F.struct(*[F.col(c) for c in latest.columns])
+    latest = (
+        latest.groupBy("turn_hash_key")
+        .agg(F.max(_payload).alias("_r"))
+        .select("_r.*")
+    )
     hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
     attrs = [c for c in latest.columns if c not in _ATTR_EXCLUDE]
     pit_fields = [f.name for f in vault.pit_turn.schema().fields]

@@ -144,10 +144,13 @@ def run_stream(
     )
     try:
         q.awaitTermination()
-    except Exception:
-        if fail_after_batches is None:
+    except Exception as e:
+        # swallow ONLY the injected crash (matched by its message, which
+        # Spark wraps in StreamingQueryException) — any other failure in a
+        # fail_after_batches run is a real bug and must propagate, or the
+        # restart test would "pass" while masking it
+        if fail_after_batches is None or "injected failure for restart test" not in str(e):
             raise
-        # injected failure: swallow, caller restarts
     finally:
         if q.isActive:
             q.stop()

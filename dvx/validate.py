@@ -38,13 +38,21 @@ def check_hash_key_format(vault: Vault):
 
 
 def check_sat_single_current(vault: Vault):
-    """Exactly one valid_to IS NULL row per key (SCD2 invariant)."""
-    sat = vault.sat_all()
-    live = sat.filter(F.col("valid_to").isNull()).groupBy("turn_hash_key").count()
-    multi = live.filter("count > 1").count()
-    keys = sat.select("turn_hash_key").distinct().count()
-    return (multi == 0 and live.count() == keys), (
-        f"{multi} keys with >1 live version; {keys - live.count() if keys >= live.count() else 0} keys with none"
+    """Exactly one valid_to IS NULL row per key (SCD2 invariant).
+    Single action: per-key live counts -> one global rollup."""
+    row = (
+        vault.sat_all()
+        .groupBy("turn_hash_key")
+        .agg(F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias("live"))
+        .agg(
+            F.sum(F.when(F.col("live") > 1, 1).otherwise(0)).alias("multi"),
+            F.sum(F.when(F.col("live") == 0, 1).otherwise(0)).alias("none"),
+        )
+        .first()
+    )
+    multi, none = int(row["multi"] or 0), int(row["none"] or 0)
+    return (multi == 0 and none == 0), (
+        f"{multi} keys with >1 live version; {none} keys with none"
     )
 
 

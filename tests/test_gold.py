@@ -50,6 +50,7 @@ def test_scd2_two_pass_versions_and_invariants(vault):
         "multi_current": 0,
         "open_history": 0,
         "inverted_interval": 0,
+        "chain_overlap": 0,
         "chain_gap": 0,
     }
 
@@ -87,6 +88,27 @@ def test_scd2_merge_end_dates_disappeared_keys(spark):
     gone = d2.filter("conv_id = 'c2'").collect()
     assert len(gone) == 1 and gone[0]["is_current"] == 0
     assert str(gone[0]["valid_to"]) == "2030-06-01 00:00:00"
+
+
+def test_scd2_disappear_then_reappear_is_gap_not_violation(spark):
+    """A key absent from one load (end-dated) that reappears later is a
+    legitimate chain GAP under full-source semantics — validate_scd2 must
+    not count it as a violation."""
+    src1 = spark.createDataFrame(
+        [("c1", 2, "user", "N", 10), ("c2", 1, "assistant", "Y", 5)],
+        "conv_id string, n_turns long, last_role string, has_tool string, total_chars long",
+    )
+    src2 = src1.filter("conv_id = 'c1'")
+    d1 = scd2_merge_dim(None, src1, "conv_id", ATTRS, "2030-01-01 00:00:00")
+    d2 = scd2_merge_dim(d1, src2, "conv_id", ATTRS, "2030-06-01 00:00:00")
+    d3 = scd2_merge_dim(d2, src1, "conv_id", ATTRS, "2030-12-01 00:00:00")
+    rep = validate_scd2(d3, "conv_id")
+    # c2: end-dated 06-01, re-inserted 12-01 -> one gap, zero defects
+    assert rep["chain_gap"] == 1
+    assert rep["multi_current"] == 0
+    assert rep["open_history"] == 0
+    assert rep["inverted_interval"] == 0
+    assert rep["chain_overlap"] == 0
 
 
 def test_fact_turn_role_playing_dates_resolve(vault):

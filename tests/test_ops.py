@@ -76,6 +76,24 @@ def test_shingle_minhash_lsh_finds_self_dups(spark, docs):
         assert (r.doc_id, r.doc_id + 100000) in found
 
 
+def test_lsh_hot_bucket_guard_drops_degenerate_bucket(spark, docs):
+    """A pathological all-identical corpus lands every doc in one band
+    bucket; with max_bucket below the corpus size the bucket is dropped
+    (no quadratic pair blowup) and the job finishes with zero pairs."""
+    one = docs.limit(1).select("text")
+    corpus = (
+        spark.range(200)
+        .select(F.col("id").cast("int").alias("doc_id"))
+        .crossJoin(F.broadcast(one))
+    )
+    sigs = minhash_signatures(shingles(corpus), num_hashes=8)
+    capped = lsh_pairs(sigs, num_hashes=8, bands=4, max_bucket=50)
+    assert capped.count() == 0
+    # sanity: with the cap above the corpus size the pairs come back
+    uncapped = lsh_pairs(sigs, num_hashes=8, bands=4, max_bucket=500)
+    assert uncapped.count() == 200 * 199 // 2
+
+
 def test_jaccard_exact_pairs(spark, docs):
     copies = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
     sh = shingles(docs.unionByName(copies))

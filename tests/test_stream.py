@@ -49,6 +49,28 @@ def test_restart_mid_replay_resumes_and_matches(spark, tmp_path, changelog):
     assert meta.filter("status = 'PARTITION_METRIC'").count() > 0
 
 
+def test_non_injected_failure_propagates(spark, tmp_path, changelog, monkeypatch):
+    """fail_after_batches must swallow ONLY the injected crash: a real
+    failure inside the batch handler still propagates (the restart
+    harness cannot mask genuine bugs)."""
+    import pytest
+
+    import dvx.stream as stream_mod
+
+    def boom(*a, **kw):
+        raise RuntimeError("genuine batch failure")
+
+    monkeypatch.setattr(stream_mod, "ingest_batch", boom)
+    vault = make_vault(spark, tmp_path)
+    cdir = str(tmp_path / "changelog")
+    write_changelog_files(changelog.limit(100), cdir, n_files=2)
+    with pytest.raises(Exception, match="genuine batch failure"):
+        run_stream(
+            vault, cdir, str(tmp_path / "ckpt"),
+            fail_after_batches=1, log_lineage=False,
+        )
+
+
 def test_replayed_epoch_is_skipped(spark, tmp_path, changelog):
     vault = make_vault(spark, tmp_path)
     b = changelog.limit(200)
