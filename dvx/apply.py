@@ -335,8 +335,7 @@ def _apply_satellite(
             hist_tbl.append(hist_rows, summary=summary)
         _mark("hist_append")
 
-        kept = cur_fast.join(enders, key, "left_anti").select(*sat_cols, BUCKET_COL)
-        new_current = kept.unionByName(as_sat(finals, F.lit(None).cast("timestamp")))
+        re_current = None
 
         # ---- re-chain path (buckets that received out-of-order rows) ----
         if stale_buckets:
@@ -395,19 +394,36 @@ def _apply_satellite(
                 re_sat.filter(F.col("valid_to").isNotNull()),
                 summary=summary,
             )
-            new_current = new_current.unionByName(
-                re_sat.filter(F.col("valid_to").isNull())
-            )
+            re_current = re_sat.filter(F.col("valid_to").isNull())
 
-        # the current-table rewrite is the batch's biggest single write
-        # (COW over every touched bucket): salt it across 4x writer tasks
-        n_salt = max(
-            1, vault.spark.sparkContext.defaultParallelism // max(1, len(touched)) * 4
-        )
-        cur_tbl.replace_buckets(
-            touched, new_current, summary=summary, salts=min(4, n_salt)
-        )
-        _mark("replace_current")
+        # ---- current-table apply: merge-on-read ----
+        # The round-2 scale-killer was the COW rewrite here: replacing
+        # every touched bucket's full contents made per-batch write IO
+        # O(current ∩ touched buckets) — with uniform keys that is the
+        # whole current table per batch. Now only the CHANGED rows are
+        # written: the batch-final version per displaced/new key goes
+        # into per-bucket DELTA files (lake.upsert_delta) and readers
+        # last-wins-merge them; unchanged current rows are never
+        # rewritten. compact_deltas folds them back every
+        # DVX_SAT_DELTA_COMPACT commits per bucket, so the amortized
+        # rewrite is O(bucket / threshold) per batch.
+        #
+        # Crash ordering: the stale-bucket replacement carries NO epoch
+        # mark — only the delta commit does. A crash between them leaves
+        # the epoch unrecorded, so the re-run redoes both; the re-chain
+        # is a pure function of (stored state ∪ batch) and the delta
+        # upsert re-derives the same finals, so replay converges.
+        if epoch_id is None or cur_tbl.last_epoch(stream_id) < epoch_id:
+            if re_current is not None:
+                cur_tbl.replace_buckets(stale_buckets, re_current)
+            cur_tbl.upsert_delta(
+                as_sat(finals, F.lit(None).cast("timestamp")), summary=summary
+            )
+            _mark("upsert_delta")
+            cur_tbl.compact_deltas(
+                int(os.environ.get("DVX_SAT_DELTA_COMPACT", "8"))
+            )
+        _mark("compact_deltas")
         if _prof:
             deltas = {b: round(tb - ta, 2) for (_, ta), (b, tb) in zip(_marks, _marks[1:])}
             print(f"DVX_PROFILE_SAT {deltas}", flush=True)

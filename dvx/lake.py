@@ -55,6 +55,13 @@ Scale design
 - File pruning happens in *metadata* (the manifest), so a point lookup
   or a merge never lists directories or scans untouched buckets.
 - Commits are metadata-only; carried-over buckets are never rewritten.
+- Bucketed tables additionally support **merge-on-read upserts**
+  (``upsert_delta`` — the Iceberg format-v2 row-level-delta analog):
+  per-bucket delta files whose rows replace same-key base rows at read
+  time, last-wins by commit version; ``compact_deltas`` folds them back.
+  This turns per-batch upsert write IO from O(touched buckets) into
+  O(changed rows), the lever that matters when every micro-batch touches
+  every bucket (uniformly hashed keys at 10^10 rows).
 - The physical partition value is duplicated into a regular data column
   before write, so explicit-file-list reads keep it without relying on
   directory-name inference.
@@ -182,11 +189,18 @@ class LakeTable:
             for k in m.get("files_drop", []):
                 files.pop(k, None)
             files.update(m.get("files_set", {}))
+            deltas = dict(base.get("deltas", {}))
+            for k in m.get("deltas_drop", []):
+                deltas.pop(k, None)
+            deltas.update(m.get("deltas_set", {}))
             m = {
                 k: val for k, val in m.items()
-                if k not in ("files_set", "files_drop", "delta_base")
+                if k not in ("files_set", "files_drop", "deltas_set",
+                             "deltas_drop", "delta_base")
             }
             m["files"] = files
+            m["deltas"] = deltas
+        m.setdefault("deltas", {})
         if len(_SNAP_CACHE) > 512:
             _SNAP_CACHE.clear()
         _SNAP_CACHE[key] = m
@@ -252,17 +266,62 @@ class LakeTable:
         """
         m = self.snapshot(version)
         schema = StructType.fromJson(m["schema"])
-        keys = m["files"].keys()
+        delta_map = m.get("deltas", {})
+        keys = set(m["files"].keys()) | set(delta_map.keys())
         if buckets is not None:
             want = {str(b) for b in buckets}
             keys = [k for k in keys if k in want]
         if partitions is not None:
             want = set(map(str, partitions))
             keys = [k for k in keys if k in want]
-        files = [os.path.join(self.root, p) for k in keys for p in m["files"][k]]
-        if not files:
+        plain_keys = [k for k in keys if not delta_map.get(k)]
+        mor_keys = sorted(k for k in keys if delta_map.get(k))
+        plain_files = [
+            os.path.join(self.root, p)
+            for k in plain_keys
+            for p in m["files"].get(k, [])
+        ]
+        mor_files = [
+            os.path.join(self.root, p)
+            for k in mor_keys
+            for p in [*m["files"].get(k, []), *delta_map[k]]
+        ]
+        if not plain_files and not mor_files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        plain = (
+            self.spark.read.schema(schema).parquet(*plain_files)
+            if plain_files
+            else None
+        )
+        if not mor_files:
+            return plain
+        # merge-on-read (only the delta-carrying buckets pay it): delta
+        # files hold last-wins upserts keyed on the bucket cols (at most
+        # one row per key per delta commit — the upsert_delta caller
+        # contract). The winning row per key is the one from the highest
+        # commit, recovered from the file path (data/c<version>/...) —
+        # no per-row version column is stored. Ties (same commit) break
+        # on the full row struct, so the merge is deterministic. This
+        # per-key agg is the read-side price of O(new rows) write IO per
+        # batch; compact_deltas() folds deltas back into the base to
+        # bound the number of files it spans.
+        raw = self.spark.read.schema(schema).parquet(*mor_files)
+        cols = raw.columns
+        # project the commit version out of the file path first:
+        # input_file_name() is non-deterministic, so it must live in a
+        # Project below the Aggregate, not inside the agg expression
+        df = raw.withColumn(
+            "_cv",
+            F.regexp_extract(F.input_file_name(), r"data/c(\d+)/", 1).cast("long"),
+        )
+        ordered = F.struct(F.col("_cv"), *[F.col(c) for c in cols])
+        key_cols = m["bucket_cols"]
+        merged = (
+            df.groupBy(*[F.col(c) for c in key_cols])
+            .agg(F.max(ordered).alias("_m"))
+            .select(*[F.col(f"_m.{c}").alias(c) for c in cols])
+        )
+        return merged if plain is None else plain.unionByName(merged)
 
     # --------------------------------------------------------------- writes
 
@@ -408,6 +467,55 @@ class LakeTable:
             except CommitConflict:
                 continue
 
+    def upsert_delta(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Merge-on-read upsert for bucketed tables (Iceberg format-v2
+        row-level-delta analog, RawVaultSchema.scala:123-128): append
+        per-bucket DELTA files whose rows replace the bucket's current
+        row for the same key at read time (last-wins by commit version).
+
+        Caller contract: at most one row per bucket key in ``df``. Write
+        IO is O(len(df)) — nothing existing is rewritten; readers pay a
+        per-key merge over base + deltas for the touched buckets until
+        :meth:`compact_deltas` folds them back into the base.
+        """
+        while True:
+            v = self.version()
+            m = self.snapshot(v)
+            if m["num_buckets"] is None:
+                raise ValueError("upsert_delta requires a bucketed table")
+            new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
+            deltas = {k: list(ps) for k, ps in m.get("deltas", {}).items()}
+            for k, ps in new_files.items():
+                deltas.setdefault(k, []).extend(ps)
+            try:
+                return self._commit_next(
+                    m, v, "upsert_delta", dict(m["files"]), new_files, summary,
+                    deltas=deltas,
+                )
+            except CommitConflict:
+                continue
+
+    def compact_deltas(self, max_delta_files: int = 8) -> int:
+        """Fold delta files back into the base for every bucket whose
+        delta count reached ``max_delta_files`` (rewrite_data_files
+        analog for the MOR path). Bounds read-side merge width while
+        keeping per-batch write IO O(new rows): with threshold T a
+        bucket is rewritten once every T delta commits, so the amortized
+        rewrite cost per commit is O(bucket/T). Returns the number of
+        buckets folded."""
+        v = self.version()
+        m = self.snapshot(v)
+        fat = sorted(
+            int(k) for k, ps in m.get("deltas", {}).items() if len(ps) >= max_delta_files
+        )
+        if not fat:
+            return 0
+        contents = self.read(v, buckets=fat)  # merged view
+        self.replace_buckets(
+            fat, contents, summary={"compacted_delta_buckets": len(fat)}
+        )
+        return len(fat)
+
     def merge(self, source: DataFrame, merge_fn, summary: dict | None = None) -> int:
         """Copy-on-write MERGE on a bucketed table — the engine's single
         upsert primitive (replaces Iceberg ``MERGE INTO``, SURVEY.md §2.9).
@@ -434,8 +542,15 @@ class LakeTable:
                 new_files = self._write_files(merged, m, v + 1)
                 files = {k: ps for k, ps in m["files"].items() if int(k) not in set(touched)}
                 files.update(new_files)
+                # replacement contents supersede any pending deltas
+                deltas = {
+                    k: ps for k, ps in m.get("deltas", {}).items()
+                    if int(k) not in set(touched)
+                }
                 try:
-                    return self._commit_next(m, v, "merge", files, new_files, summary)
+                    return self._commit_next(
+                        m, v, "merge", files, new_files, summary, deltas=deltas
+                    )
                 except CommitConflict:
                     continue
             finally:
@@ -461,12 +576,21 @@ class LakeTable:
             new_files = self._write_files(merged, m, v + 1, salts=salts)
             files = {k: ps for k, ps in m["files"].items() if int(k) not in set(touched)}
             files.update(new_files)
+            # replacement contents supersede any pending deltas
+            deltas = {
+                k: ps for k, ps in m.get("deltas", {}).items()
+                if int(k) not in set(touched)
+            }
             try:
-                return self._commit_next(m, v, "merge", files, new_files, summary)
+                return self._commit_next(
+                    m, v, "merge", files, new_files, summary, deltas=deltas
+                )
             except CommitConflict:
                 continue
 
-    def _commit_next(self, m, v, op, files, new_files, summary):
+    def _commit_next(self, m, v, op, files, new_files, summary, deltas=None):
+        if deltas is None:
+            deltas = m.get("deltas", {})
         s = dict(m.get("summary", {}))
         epochs = dict(s.get("epochs", {}))
         user = dict(summary or {})
@@ -476,6 +600,7 @@ class LakeTable:
         s["epochs"] = epochs
         s["added_files"] = sum(len(p) for p in new_files.values())
         s["total_files"] = sum(len(p) for p in files.values())
+        s["total_delta_files"] = sum(len(p) for p in deltas.values())
         manifest = {
             "operation": op,
             "schema": m["schema"],
@@ -487,6 +612,7 @@ class LakeTable:
         }
         if (v + 1) % _CHECKPOINT_EVERY == 0:
             manifest["files"] = files  # checkpoint: full map
+            manifest["deltas"] = deltas
         else:
             old = m["files"]
             manifest["delta_base"] = v
@@ -494,6 +620,11 @@ class LakeTable:
                 k: ps for k, ps in files.items() if old.get(k) != ps
             }
             manifest["files_drop"] = [k for k in old if k not in files]
+            old_d = m.get("deltas", {})
+            manifest["deltas_set"] = {
+                k: ps for k, ps in deltas.items() if old_d.get(k) != ps
+            }
+            manifest["deltas_drop"] = [k for k in old_d if k not in deltas]
         return self._commit(v, manifest)
 
     # ----------------------------------------------------- exactly-once API
@@ -531,16 +662,30 @@ class LakeTable:
         436-469): one row per partition key with file count and on-disk
         bytes. Driver-side metadata walk; no Spark job."""
         m = self.snapshot(version)
+        delta_map = m.get("deltas", {})
         out = []
-        for k in sorted(m["files"]):
-            paths = m["files"][k]
+
+        def _size(paths: list[str]) -> int:
             size = 0
             for p in paths:
                 try:
                     size += os.path.getsize(os.path.join(self.root, p))
                 except OSError:
                     pass
-            out.append({"partition": k, "file_count": len(paths), "bytes": size})
+            return size
+
+        for k in sorted(set(m["files"]) | set(delta_map)):
+            paths = m["files"].get(k, [])
+            dpaths = delta_map.get(k, [])
+            out.append(
+                {
+                    "partition": k,
+                    "file_count": len(paths),
+                    "bytes": _size(paths),
+                    "delta_file_count": len(dpaths),
+                    "delta_bytes": _size(dpaths),
+                }
+            )
         return out
 
     # ---------------------------------------------------------- maintenance
@@ -565,7 +710,10 @@ class LakeTable:
         keep = vs[len(expire):]
         live: set[str] = set()
         for v in keep:
-            for ps in self.snapshot(v)["files"].values():
+            snap = self.snapshot(v)
+            for ps in snap["files"].values():
+                live.update(ps)
+            for ps in snap.get("deltas", {}).values():
                 live.update(ps)
         # the oldest retained manifest may be a delta whose base is about
         # to be expired: rewrite it as a checkpoint (resolved full map)
@@ -582,7 +730,9 @@ class LakeTable:
             os.replace(tmp, os.path.join(d, f"v{oldest:010d}.json"))
         removed = 0
         for v in expire:
-            for ps in self.snapshot(v)["files"].values():
+            snap = self.snapshot(v)
+            refs = list(snap["files"].values()) + list(snap.get("deltas", {}).values())
+            for ps in refs:
                 for p in ps:
                     if p not in live:
                         fp = os.path.join(self.root, p)
@@ -599,7 +749,11 @@ class LakeTable:
         while True:
             v = self.version()
             m = self.snapshot(v)
-            fat = [k for k, ps in m["files"].items() if len(ps) > max_files_per_key]
+            delta_map = m.get("deltas", {})
+            fat = sorted(
+                {k for k, ps in m["files"].items() if len(ps) > max_files_per_key}
+                | {k for k, ps in delta_map.items() if ps}
+            )
             if not fat:
                 return v
             if m["num_buckets"] is not None:
@@ -612,7 +766,10 @@ class LakeTable:
             new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
             files = {k: ps for k, ps in m["files"].items() if k not in fat}
             files.update(new_files)
+            deltas = {k: ps for k, ps in delta_map.items() if k not in fat}
             try:
-                return self._commit_next(m, v, "compact", files, new_files, {"compacted": fat})
+                return self._commit_next(
+                    m, v, "compact", files, new_files, {"compacted": fat}, deltas=deltas
+                )
             except CommitConflict:
                 continue

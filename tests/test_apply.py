@@ -234,3 +234,28 @@ def test_prepare_batch_chains_versions(spark, changelog):
     finals = prepared.filter(F.col("_next_ts").isNull()).groupBy("conv_id", "turn_idx").count()
     assert finals.filter("count>1").count() == 0
     prepared.unpersist()
+
+
+def test_satellite_current_write_io_is_o_of_batch(spark, tmp_path, changelog):
+    """The MOR guarantee: a small follow-up batch must NOT rewrite the
+    current table's base buckets — per-batch write IO is O(batch keys)
+    (delta files), not O(current table)."""
+    vault = make_vault(spark, tmp_path)
+    cut = changelog.selectExpr("percentile(cast(ts AS DOUBLE), 0.9) AS c").first()["c"]
+    cut_ts = F.lit(cut).cast("double").cast("timestamp")
+    apply_batch(vault, changelog.filter(F.col("ts") <= cut_ts), epoch_id=0)
+    tbl = vault.sat_turn_text
+    tbl.compact_deltas(max_delta_files=1)  # fold batch 0 into the base
+    base_before = dict(tbl.snapshot()["files"])
+    base_bytes = sum(s["bytes"] for s in tbl.file_stats())
+
+    apply_batch(vault, changelog.filter(F.col("ts") > cut_ts), epoch_id=1)
+    m = tbl.snapshot()
+    # base files untouched (no COW rewrite of unchanged rows)
+    assert m["files"] == base_before
+    stats = tbl.file_stats()
+    delta_bytes = sum(s["delta_bytes"] for s in stats)
+    assert delta_bytes > 0
+    assert delta_bytes < base_bytes  # wrote the batch, not the table
+    # and the merged read still matches the oracle
+    assert_frames_equal(current_state(vault), oracle_state(changelog))

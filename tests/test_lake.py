@@ -190,3 +190,76 @@ def test_expire_rewrites_oldest_delta_as_checkpoint(spark, tbl):
     assert "files" in tbl._read_manifest(vs[0])  # self-contained chain
     assert tbl.read().count() == 8
     assert tbl.read(version=vs[0]).count() == vs[0] - 1
+
+
+# ---------------------------------------------------------------- MOR deltas
+
+
+def test_upsert_delta_last_wins_read(spark, tbl):
+    tbl.append(_df(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    tbl.upsert_delta(_df(spark, [("a", 10), ("d", 40)]))
+    tbl.upsert_delta(_df(spark, [("a", 100)]))
+    got = sorted((r.k, r.v) for r in tbl.read().collect())
+    assert got == [("a", 100), ("b", 2), ("c", 3), ("d", 40)]
+    # nothing in the base was rewritten: delta commits add only new files
+    assert tbl.snapshot()["summary"]["total_delta_files"] >= 2
+
+
+def test_upsert_delta_write_io_is_o_of_changed_rows(spark, tbl):
+    """The MOR point: upserting one key must not rewrite the bucket."""
+    tbl.append(_df(spark, [(f"k{i}", i) for i in range(64)]))
+    files_before = dict(tbl.snapshot()["files"])
+    tbl.upsert_delta(_df(spark, [("k0", -1)]))
+    m = tbl.snapshot()
+    assert m["files"] == files_before  # base untouched
+    assert m["summary"]["added_files"] == 1  # one delta file
+    assert [r.v for r in tbl.read().filter("k = 'k0'").collect()] == [-1]
+
+
+def test_replace_buckets_supersedes_deltas(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+    tbl.upsert_delta(_df(spark, [("a", 10)]))
+    bucket = tbl.with_bucket(_df(spark, [("a", 1)])).select(BUCKET_COL).first()[0]
+    tbl.replace_buckets([bucket], _df(spark, [("a", 99)]))
+    m = tbl.snapshot()
+    assert not m["deltas"].get(str(bucket))
+    assert [r.v for r in tbl.read().collect()] == [99]
+
+
+def test_compact_deltas_folds_and_preserves_contents(spark, tbl):
+    tbl.append(_df(spark, [("a", 1), ("b", 2)]))
+    for i in range(3):
+        tbl.upsert_delta(_df(spark, [("a", 10 + i)]))
+    before = sorted((r.k, r.v) for r in tbl.read().collect())
+    folded = tbl.compact_deltas(max_delta_files=3)
+    assert folded >= 1
+    m = tbl.snapshot()
+    assert sum(len(p) for p in m["deltas"].values()) < 3
+    assert sorted((r.k, r.v) for r in tbl.read().collect()) == before
+
+
+def test_time_travel_sees_deltas_as_of_version(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+    v1 = tbl.version()
+    tbl.upsert_delta(_df(spark, [("a", 2)]))
+    v2 = tbl.version()
+    tbl.upsert_delta(_df(spark, [("a", 3)]))
+    assert [r.v for r in tbl.read(version=v1).collect()] == [1]
+    assert [r.v for r in tbl.read(version=v2).collect()] == [2]
+    assert [r.v for r in tbl.read().collect()] == [3]
+
+
+def test_expire_keeps_live_delta_files(spark, tbl):
+    import os
+
+    tbl.append(_df(spark, [("a", 1)]))
+    tbl.upsert_delta(_df(spark, [("a", 2)]))
+    for i in range(12):
+        tbl.append(_df(spark, [(f"x{i}", i)]))
+    tbl.expire_snapshots(retain_last=3)
+    # the delta file is still referenced by the latest snapshot
+    m = tbl.snapshot()
+    for ps in m["deltas"].values():
+        for p in ps:
+            assert os.path.exists(os.path.join(tbl.root, p))
+    assert [r.v for r in tbl.read().filter("k = 'a'").collect()] == [2]
