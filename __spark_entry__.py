@@ -45,7 +45,7 @@ _VAULTS: dict[str, object] = {}
 
 # bump whenever replay semantics / logged artifacts change: a warehouse
 # built by an older code revision is rebuilt instead of silently reused
-_BUILD_TAG = "dvx-entry-v5"  # v5: narrow-chain satellite/PIT, fused hashing
+_BUILD_TAG = "dvx-entry-v6"  # v6: entity registry, MOR current table
 
 
 def _is_built(marker: str) -> bool:
@@ -89,6 +89,9 @@ def _get_vault(spark: SparkSession, sf_dir: str):
         for i, b in enumerate(batches):
             ingest_batch(vault, b, epoch_id=i, log_lineage=True)
         build_pit(vault, PIT_DATE)
+        from dvx.pit import refresh_bridge
+
+        refresh_bridge(vault)  # materialized serving pre-join
         changelog.unpersist()
         with open(marker, "w") as f:
             f.write(_BUILD_TAG)
@@ -125,6 +128,47 @@ def _get_evo_vault(spark: SparkSession, sf_dir: str):
         )
         ingest_batch(vault, b0, epoch_id=0, log_lineage=False)
         ingest_batch(vault, b1, epoch_id=1, log_lineage=False)
+        changelog.unpersist()
+        with open(marker, "w") as f:
+            f.write(_BUILD_TAG)
+    _VAULTS[key] = vault
+    return vault
+
+
+def _get_meta_vault(spark: SparkSession, sf_dir: str):
+    """Replay with a config-extended registry: sat_turn_meta (role/tool
+    only) added purely via ``EntityRegistry.with_satellite`` — the
+    multi-entity generality surface (reference dispatch,
+    RawVaultETL.scala:85-92, without its per-entity copy-paste). Each
+    satellite chains on its own hash-diff."""
+    from dvx.entities import DEFAULT_REGISTRY, SAT_TURN_META
+    from dvx.schema import Vault
+    from dvx.stream import ingest_batch
+
+    key = os.path.abspath(sf_dir) + "#meta"
+    if key in _VAULTS:
+        return _VAULTS[key]
+    wh = os.path.join(
+        os.environ.get("DVX_ENTRY_TMP", "/tmp"),
+        "dvx_entry_meta_" + os.path.basename(os.path.abspath(sf_dir).rstrip("/")),
+    )
+    vault = Vault(
+        spark, wh, num_buckets=16,
+        registry=DEFAULT_REGISTRY.with_satellite(SAT_TURN_META),
+    )
+    marker = os.path.join(wh, "_BUILT")
+    if not _is_built(marker):
+        if os.path.isdir(wh):
+            shutil.rmtree(wh)
+        vault.create_all_tables()
+        changelog = changelog_from_testdata(spark, sf_dir).persist()
+        batches = [
+            changelog.filter(F.col("ts") < B1),
+            changelog.filter((F.col("ts") >= B1) & (F.col("ts") < B2)),
+            changelog.filter(F.col("ts") >= B2),
+        ]
+        for i, b in enumerate(batches):
+            ingest_batch(vault, b, epoch_id=i, log_lineage=False)
         changelog.unpersist()
         with open(marker, "w") as f:
             f.write(_BUILD_TAG)
@@ -218,6 +262,21 @@ def q_cdc_sat_version_counts(spark, sf_dir):
     )
 
 
+def q_cdc_sat_meta_versions(spark, sf_dir):
+    """Version counts of the config-added role/tool satellite: chained on
+    ITS OWN hash-diff, so text-only edits create no version here (the
+    second-satellite generality check)."""
+    v = _get_meta_vault(spark, sf_dir)
+    hub = v.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    return (
+        v.sat_all(sat="sat_turn_meta")
+        .groupBy("turn_hash_key")
+        .agg(F.count("*").alias("n_versions"))
+        .join(hub, "turn_hash_key")
+        .select("conv_id", "turn_idx", "n_versions")
+    )
+
+
 def q_cdc_scd2_history(spark, sf_dir):
     v = _get_vault(spark, sf_dir)
     hub = v.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
@@ -272,12 +331,15 @@ def q_cdc_schema_evolution(spark, sf_dir):
 
 
 def q_cdc_bridge(spark, sf_dir):
-    """Bridge full refresh: link ⋈ hubs ⋈ current-sat (J4,
-    BusinessVaultETL.scala:404-494)."""
-    from dvx.pit import build_bridge
-
+    """Bridge as a MAINTAINED lake table (J4, BusinessVaultETL.scala:
+    404-494 full refresh + BusinessVaultSchema.scala:365-396 serving
+    rationale): the replay refreshes bridge_conversation_turn; this
+    query reads the materialized table, not a re-derived join."""
     v = _get_vault(spark, sf_dir)
-    return build_bridge(v)
+    return v.table("bridge_conversation_turn").read().select(
+        "link_hash_key", "conv_hash_key", "turn_hash_key",
+        "conv_id", "turn_idx", "role", "text", "tool",
+    )
 
 
 def q_cdc_pit_range(spark, sf_dir):
@@ -449,6 +511,21 @@ _CDC_ORACLES = {
     "cdc_sat_version_counts": f"""{_VERSIONS}
         SELECT conv_id, turn_idx, count(*) AS n_versions
         FROM versions GROUP BY conv_id, turn_idx""",
+    # second satellite (config-added): chain on the role/tool-only diff
+    "cdc_sat_meta_versions": f"""{_CL},
+        flagged AS (
+          SELECT *, CASE WHEN op = 'D' THEN 'Y' END AS is_deleted FROM dedup
+        ),
+        hashed AS (
+          SELECT *, {hash_sql("role", "tool", "is_deleted")} AS diff FROM flagged
+        ),
+        chain AS (
+          SELECT *, lag(diff) OVER (PARTITION BY conv_id, turn_idx ORDER BY ts, seq) AS prev_diff
+          FROM hashed
+        )
+        SELECT conv_id, turn_idx, count(*) AS n_versions
+        FROM chain WHERE prev_diff IS NULL OR prev_diff <> diff
+        GROUP BY conv_id, turn_idx""",
     "cdc_scd2_history": f"""{_VERSIONS}
         SELECT conv_id, turn_idx, diff AS hash_diff,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
@@ -463,22 +540,17 @@ _CDC_ORACLES = {
         SELECT conv_id, turn_idx, role, text, tool FROM ranked WHERE rn = 1 AND op <> 'D'""",
     "cdc_deleted_turns": f"""{_LATEST}
         SELECT conv_id, turn_idx FROM latest WHERE op = 'D'""",
+    # records_loaded per epoch = DEDUPED change events the batch carried
+    # (exact redeliveries collapse in prepare; per-satellite chain
+    # collapse happens downstream and varies per satellite)
     "cdc_lineage": f"""{_CL},
         flagged AS (
-          SELECT *, CASE WHEN op = 'D' THEN 'Y' END AS is_deleted,
-                 CASE WHEN ts < TIMESTAMP '{B1}' THEN 0
+          SELECT *, CASE WHEN ts < TIMESTAMP '{B1}' THEN 0
                       WHEN ts < TIMESTAMP '{B2}' THEN 1 ELSE 2 END AS epoch
-          FROM changelog
-        ),
-        hashed AS (SELECT *, {_DIFF} AS diff FROM flagged),
-        chain AS (
-          SELECT *, lag(diff) OVER (
-            PARTITION BY conv_id, turn_idx, epoch ORDER BY ts, seq) AS prev_diff
-          FROM hashed
+          FROM dedup
         )
         SELECT CAST(epoch AS BIGINT) AS epoch, count(*) AS records_loaded
-        FROM chain WHERE prev_diff IS NULL OR prev_diff <> diff
-        GROUP BY epoch""",
+        FROM flagged GROUP BY epoch""",
     "cdc_schema_evolution": f"""{_LATEST}
         SELECT conv_id, turn_idx,
                CASE WHEN ts >= TIMESTAMP '{EVO_CUT}'
@@ -1146,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hub_turn": q_cdc_hub_turn,
         "cdc_link": q_cdc_link,
         "cdc_sat_version_counts": q_cdc_sat_version_counts,
+        "cdc_sat_meta_versions": q_cdc_sat_meta_versions,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_pit_asof": q_cdc_pit_asof,
         "cdc_deleted_turns": q_cdc_deleted_turns,

@@ -70,7 +70,6 @@ def main() -> None:
         t["prepare"] = round(time.time() - t0, 2)
         cpu["prepare"] = round(_jvm_cpu() - c0, 1)
 
-        sat_cols = [f.name for f in vault.sat_turn_text.schema().fields]
         specs = [
             ("hub_conv", vault.hub_conversation,
              prepared.select("conv_hash_key", "conv_id", "load_date", "record_source"),
@@ -88,12 +87,10 @@ def main() -> None:
             t[name] = round(time.time() - t0, 2)
             cpu[name] = round(_jvm_cpu() - c0, 1)
 
-        sat_src = prepared.select(
-            *[c for c in sat_cols if c not in ("valid_from", "valid_to", "src_seq")],
-            "ts", "seq", "_next_ts",
-        )
         t0 = time.time(); c0 = _jvm_cpu()
-        _apply_satellite(vault, sat_src, None, "default", None)
+        _apply_satellite(
+            vault, vault.registry.satellites[0], prepared, None, "default", None
+        )
         t["satellite"] = round(time.time() - t0, 2)
         cpu["satellite"] = round(_jvm_cpu() - c0, 1)
 

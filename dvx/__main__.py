@@ -6,6 +6,7 @@ RawVaultETL/BusinessVaultETL mains), resolved through the
     python -m dvx create   [--warehouse W] [--num-buckets N]
     python -m dvx replay   --changelog DIR [--checkpoint C] [--pit-dates D1,D2]
     python -m dvx pit      --date YYYY-MM-DD [--replace]
+    python -m dvx bridge   [--incremental]
     python -m dvx views
     python -m dvx validate
     python -m dvx compact
@@ -39,6 +40,11 @@ def _build_parser() -> argparse.ArgumentParser:
     pit = sub.add_parser("pit")
     pit.add_argument("--date", required=True)
     pit.add_argument("--replace", action="store_true")
+    br = sub.add_parser("bridge")
+    br.add_argument(
+        "--incremental", action="store_true",
+        help="rewrite only buckets of conversations loaded since the last refresh",
+    )
     sub.add_parser("views")
     sub.add_parser("validate")
     sub.add_parser("compact")
@@ -53,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     overrides = {
         k: v
         for k, v in vars(args).items()
-        if k not in ("cmd", "config", "date", "replace") and v is not None
+        if k not in ("cmd", "config", "date", "replace", "incremental") and v is not None
     }
     cfg = DvxConfig.load(config_file=args.config, overrides=overrides)
 
@@ -93,6 +99,24 @@ def main(argv: list[str] | None = None) -> int:
 
         built = build_pit(vault, args.date, if_exists="replace" if args.replace else "skip")
         print(json.dumps({"date": args.date, "built": built}))
+    elif args.cmd == "bridge":
+        from dvx.pit import refresh_bridge
+
+        touched = None
+        if args.incremental:
+            # touched convs since the bridge's last refresh: hub rows whose
+            # load_date is on/after the refresh watermark in the bridge
+            # table summary (conservative over-approximation)
+            from pyspark.sql import functions as F
+
+            tbl = vault.table("bridge_conversation_turn")
+            wm = tbl.snapshot().get("summary", {}).get("refreshed_through")
+            hub = vault.hub_conversation.read().select("conv_hash_key", "load_date")
+            touched = (
+                hub.filter(F.col("load_date") >= wm) if wm else hub
+            ).select("conv_hash_key")
+        n = refresh_bridge(vault, touched)
+        print(json.dumps({"buckets_refreshed": n}))
     elif args.cmd == "views":
         from dvx.views import create_all_views
 
@@ -105,16 +129,13 @@ def main(argv: list[str] | None = None) -> int:
         return int(results["exit_code"])
     elif args.cmd == "compact":
         versions = {
-            t: vault.table(t).compact()
-            for t in ("hub_conversation", "hub_turn", "link_conversation_turn",
-                      "sat_turn_text", "sat_turn_text_hist")
+            t: vault.table(t).compact() for t in vault.registry.table_names()
         }
         print(json.dumps({"compacted_to": versions}))
     elif args.cmd == "stats":
         out = {
             t: vault.table(t).file_stats()
-            for t in ("hub_conversation", "hub_turn", "link_conversation_turn",
-                      "sat_turn_text", "sat_turn_text_hist", "pit_turn")
+            for t in (*vault.registry.table_names(), "pit_turn")
         }
         print(json.dumps(out))
     return 0

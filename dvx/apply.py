@@ -3,38 +3,42 @@
 Re-expresses the reference's RawVaultETL load semantics (SURVEY.md §3.1)
 with the *intended* behavior (proper SCD2 end-dating — the reference's
 UPDATE is broken, RawVaultETL.scala:1032-1078; ours folds end-dating and
-insertion into one copy-on-write merge):
+insertion into one commit), driven by a declarative entity registry
+(dvx.entities) instead of the reference's per-entity copy-paste
+(RawVaultETL.scala:176-224, 243-367, 413-520, 700-800):
 
-1. vectorized-UDF hashing (business keys + link key fused in one Arrow
-   pass; hash-diff),
-2. per-key version chaining ordered by (ts, seq): consecutive duplicate
-   hash-diffs (incl. exact redeliveries) collapse, survivors carry their
-   in-batch end timestamp,
+1. vectorized-UDF hashing (every hub/link business key + every
+   satellite's hash-diff fused in ONE Arrow pass),
+2. deterministic dedup of exact redeliveries and (ts, seq) ties at the
+   version grain (min attr struct — replays must byte-match even on
+   anomalous inputs),
 3. hub/link merges = insert-only anti-join on hash key (J1,
    RawVaultETL.scala:204-205),
-4. satellite apply = SCD2 over a bounded CURRENT table + append-only
-   HISTORY: end-date displaced versions, insert the batch-final version
-   as current; stale (out-of-order) arrivals trigger a per-bucket
-   re-chain that splices them into history (one-shot semantics, nothing
-   lost); deletes are tombstone versions.
+4. per-satellite SCD2 apply over a bounded CURRENT table + append-only
+   HISTORY: the batch chains per key on the satellite's OWN hash-diff
+   (consecutive duplicates collapse), displaced versions are end-dated
+   into history, the batch-final version upserts into current as a
+   merge-on-read delta; stale (out-of-order) arrivals trigger a
+   per-bucket re-chain that splices them into history (one-shot
+   semantics, nothing lost); deletes are tombstone versions.
 
 Scale notes
 -----------
-- Hash computation is Arrow-vectorized (dvx.hashing) and fully fused:
-  all three business keys + the hash-diff in ONE Arrow round trip.
-- The SCD2 decision logic runs on narrow (key, ts, seq, hash_diff) rows;
-  full-width transcript rows never sort or shuffle through the chain —
-  they are recovered per output by an anti-join against the (tiny,
-  AQE-broadcast) dropped set.
-- Hot-conversation skew: the chain window partitions by (conv_id,
-  turn_idx) — a hot conversation's events spread across its turns, so
-  no single task holds a whole hot conversation, only one turn's
-  version run (bounded by the per-turn edit count). The rows that flow
-  through that window are the narrow ~100B decision columns, so even a
-  pathological single-turn run is cheap to sort.
-- Merges rewrite only touched buckets (dvx.lake COW), and each merge_fn
-  is a bucket-colocated join: both sides are filtered to the same bucket
-  set before shuffling.
+- Hash computation is Arrow-vectorized (dvx.hashing.registry_hashes)
+  and fully fused: all business keys + every satellite's hash-diff in
+  ONE Arrow round trip.
+- The SCD2 decision logic runs on narrow (key, ts, seq, hash_diff)
+  rows; full-width transcript rows never sort or shuffle through the
+  chain — they are recovered per output by an anti-join against the
+  (tiny, AQE-broadcast) dropped set.
+- Hot-conversation skew: the chain window partitions by the satellite
+  parent key (one turn) — a hot conversation's events spread across its
+  turns, so no single task holds a whole hot conversation, only one
+  turn's version run (bounded by the per-turn edit count). The rows
+  that flow through that window are the narrow ~100B decision columns,
+  so even a pathological single-turn run is cheap to sort.
+- Current-table writes are merge-on-read deltas (dvx.lake.upsert_delta):
+  per-batch write IO is O(changed rows), never O(touched buckets).
 """
 
 from __future__ import annotations
@@ -44,69 +48,65 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dvx.hashing import turn_all_hashes
+from dvx.entities import DEFAULT_REGISTRY, EntityRegistry, SatelliteSpec
+from dvx.hashing import registry_hashes
 from dvx.lake import BUCKET_COL
 from dvx.schema import CHANGELOG_SCHEMA, RECORD_SOURCE, Vault
 
-DESCRIPTIVE_COLS = ["role", "text", "tool"]  # canonical satellite attrs
 _ENVELOPE = {f.name for f in CHANGELOG_SCHEMA.fields}
 
 
 def descriptive_cols_of(df: DataFrame) -> list[str]:
-    """Canonical descriptive attrs + any additive extras present in the
-    batch (the reference's intersection pattern, RawVaultETL.scala:250-309)."""
-    extras = [c for c in df.columns if c not in _ENVELOPE and not c.startswith("_")]
-    return DESCRIPTIVE_COLS + sorted(extras)
+    """Additive-evolution extras present in the batch (the reference's
+    intersection pattern, RawVaultETL.scala:250-309)."""
+    return sorted(c for c in df.columns if c not in _ENVELOPE and not c.startswith("_"))
 
 
-def prepare_batch(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
-    """Dedup + version-chain + hash enrichment of one changelog micro-batch.
+def prepare_batch(df: DataFrame, registry: EntityRegistry | None = None) -> DataFrame:
+    """Dedup + hash enrichment of one changelog micro-batch.
 
-    Emits EVERY distinct version per (conv_id, turn_idx) in the batch —
-    not just the last writer — chained via ``_next_ts`` (the successor's
-    valid_from, NULL for the batch-final version), so a PIT as-of any
-    date inside the batch window is still correct.
-
-    Exact redeliveries need no dedicated ``dropDuplicates(seq)`` shuffle:
-    a redelivered event has the same (ts, seq, content), so it sorts
-    adjacent to its original in the per-key chain and the consecutive
-    hash-diff filter removes it — one shuffle total for the whole
-    prepare stage.
+    Emits one row per (version grain, ts, seq) carrying every hub/link
+    hash key and every satellite's hash-diff. Exact redeliveries (same
+    grain, ts, seq, content) collapse in the dedup agg; distinct-content
+    ties on (ts, seq) — an ingest-contract violation — resolve
+    DETERMINISTICALLY to the min attr struct, so replays byte-match even
+    on anomalous inputs. Per-satellite version chaining happens inside
+    each satellite's apply (each chains on its own diff).
     """
-    from pyspark.sql.window import Window
-
-    desc = descriptive_cols_of(df)
-    # Redistribute on the chain keys BEFORE the Arrow hash UDFs. A micro-
-    # batch often arrives as one file (= 1-3 scan tasks), and ArrowEval
-    # runs in the scan stage — without this, MD5 hashing of millions of
-    # rows is pinned to those few Python workers regardless of cluster
-    # size (measured: replay throughput flat from local[4] to local[32]).
-    # The chain window below requires exactly this clustering, so Catalyst
-    # reuses the exchange — one shuffle total, same as before, but the
-    # UDFs now run at full width.
-    # Measured (synth100000, 4 micro-batches): without this, 16 cores run
-    # SLOWER than 4 (14.2k vs 19.7k ev/s); with it, 16 cores win (22.0k vs
-    # 16.8k). The small low-core cost is the price of the high-core win.
+    registry = registry or DEFAULT_REGISTRY
+    extras = descriptive_cols_of(df)
+    grain = list(registry.version_grain())
+    # Redistribute on the version grain BEFORE the Arrow hash UDFs. A
+    # micro-batch often arrives as one file (= 1-3 scan tasks), and
+    # ArrowEval runs in the scan stage — without this, MD5 hashing of
+    # millions of rows is pinned to those few Python workers regardless
+    # of cluster size (measured: replay throughput flat from local[4] to
+    # local[32]). The dedup agg below groups on a superset of the grain,
+    # so Catalyst reuses the exchange — one shuffle total, and the UDFs
+    # run at full width. Measured (synth100000, 4 micro-batches):
+    # without this, 16 cores run SLOWER than 4 (14.2k vs 19.7k ev/s);
+    # with it, 16 cores win (22.0k vs 16.8k).
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    df = df.repartition(n_part, "conv_id", "turn_idx")
+    df = df.repartition(n_part, *grain)
+    others = [c for c in df.columns if c not in (*grain, "ts", "seq")]
+    deduped = (
+        df.groupBy(*grain, "ts", "seq")
+        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_r"))
+        .select(*grain, "ts", "seq", "_r.*")
+    )
     is_del = F.when(F.col("op") == "D", F.lit("Y")).cast("string")
-    enriched = (
-        df.withColumn("is_deleted", is_del)
-        .withColumn(
-            "_keys",
-            turn_all_hashes("conv_id", "turn_idx", [*desc, "is_deleted"]),
-        )
+    sat_diff_cols = {
+        s.name: [*s.attrs, *(extras if s.dynamic_extras else []), "is_deleted"]
+        for s in registry.satellites
+    }
+    return (
+        deduped.withColumn("is_deleted", is_del)
+        .withColumn("_keys", registry_hashes(registry, sat_diff_cols))
         .select("*", "_keys.*")
         .drop("_keys")
         .withColumn("load_date", F.date_format("ts", "yyyy-MM-dd"))
         .withColumn("record_source", F.lit(RECORD_SOURCE))
     )
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "seq")
-    chained = enriched.withColumn("_prev_diff", F.lag("hash_diff").over(w)).filter(
-        F.col("_prev_diff").isNull() | (F.col("_prev_diff") != F.col("hash_diff"))
-    )
-    # second window reuses the first's hash partitioning (same keys)
-    return chained.withColumn("_next_ts", F.lead("ts").over(w)).drop("_prev_diff")
 
 
 def _spill_path(vault: Vault) -> str:
@@ -156,35 +156,42 @@ def _insert_new_keys(
 
 def _apply_satellite(
     vault: Vault,
-    src: DataFrame,
+    spec: SatelliteSpec,
+    prepared: DataFrame,
     epoch_id: int | None,
     stream_id: str,
     summary: dict | None,
 ) -> None:
-    """Satellite SCD2 apply over the current/history split.
+    """One satellite's SCD2 apply over its current/history split.
 
     Semantics (reference's *intended* end-dating, RawVaultETL.scala
-    1032-1078 fixed):
+    1032-1078 fixed), per version of THIS satellite's hash-diff:
 
-    - FRESH rows (strictly newer than the stored current by (ts, seq)):
-      the in-batch chain applies directly — the no-op guard drops the
-      batch's earliest surviving version if it matches the stored current
-      hash_diff (P5 change filter, RawVaultETL.scala:340-346), non-final
-      chain versions + displaced old current rows append to the HISTORY
-      table (guarded by its epoch watermark — appends are not naturally
-      idempotent), and the batch-final version per key replaces the
-      CURRENT row (COW on touched buckets only).
+    - The batch chains per key in (ts, seq) order; rows whose diff equals
+      the immediately preceding row's collapse (consecutive-duplicate
+      removal — equivalent to comparing against the previous surviving
+      version, since dropped rows share their predecessor's diff).
+    - FRESH surviving rows (strictly newer than the stored current by
+      (ts, seq)): the no-op guard drops the batch's earliest surviving
+      version if it matches the stored current hash_diff (P5 change
+      filter, RawVaultETL.scala:340-346); non-final chain versions +
+      displaced old current rows append to the HISTORY table (guarded by
+      its epoch watermark); the batch-final version per key upserts into
+      CURRENT as a merge-on-read delta (O(changed rows) write IO).
     - EQUAL rows (same (ts, seq) as the stored current): exact
       redeliveries — dropped, idempotent.
     - STALE rows (strictly older than the stored current): out-of-order
-      arrivals. These are NOT discarded (round-1 defect: dropping them
-      loses past-as-of PIT rows). Every bucket containing a stale row is
-      re-chained from scratch: union(history ∪ current ∪ incoming) for
-      that bucket, dedup on (key, ts, seq), re-collapse consecutive
-      duplicate hash_diffs, recompute valid_from/valid_to by lead() —
-      i.e. the one-shot oracle semantics, recomputed for O(stale buckets)
-      only. The re-chain is a pure function of (stored state ∪ batch), so
-      crash-replay at any point converges to the same state.
+      arrivals. Every bucket containing one is re-chained from scratch:
+      union(history ∪ current ∪ incoming) for that bucket, dedup on
+      (key, ts, seq), re-collapse consecutive duplicate hash_diffs,
+      recompute valid_from/valid_to — the one-shot oracle semantics for
+      O(stale buckets) only. The re-chain is a pure function of (stored
+      state ∪ batch), so crash-replay at any point converges.
+
+    Crash ordering: history appends first (epoch-guarded); the
+    stale-bucket current replacement carries NO epoch mark — only the
+    final delta commit does — so a crash anywhere in between re-runs
+    the whole satellite apply, which converges.
     """
     from pyspark.sql.window import Window
 
@@ -199,14 +206,31 @@ def _apply_satellite(
         if _prof:
             _marks.append((label, _time.time()))
 
-    key = "turn_hash_key"
-    cur_tbl = vault.sat_turn_text
-    hist_tbl = vault.sat_turn_text_hist
-    # no extra cache here: src projects the (cached) prepared batch, and
+    key = spec.parent_key
+    cur_tbl = vault.table(spec.name)
+    hist_tbl = vault.table(spec.hist_name)
+    sat_fields = cur_tbl.schema().fields
+    sat_cols = [f.name for f in sat_fields]
+    types = {f.name: f.dataType for f in sat_fields}
+
+    # project the prepared batch onto this satellite's surface: its own
+    # diff column becomes hash_diff; schema attrs missing from the batch
+    # (evolved columns absent this epoch) null-fill
+    proj = []
+    for c in sat_cols:
+        if c == "hash_diff":
+            proj.append(F.col(spec.diff_col).alias("hash_diff"))
+        elif c in ("valid_from", "valid_to", "src_seq"):
+            continue
+        elif c in prepared.columns:
+            proj.append(F.col(c))
+        else:
+            proj.append(F.lit(None).cast(types[c]).alias(c))
+    # no extra cache here: src projects the spilled prepared batch, and
     # every extra multi-million-row block-manager cache serializes on the
     # memory store at high core counts (measured: 3 caches alive made the
     # satellite block 4x slower at local[32] than local[8])
-    src = cur_tbl.with_bucket(src)
+    src = cur_tbl.with_bucket(prepared.select(*proj, "ts", "seq"))
     spill_j = None
     try:
         touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
@@ -214,7 +238,6 @@ def _apply_satellite(
         if not touched:
             return
         cur = cur_tbl.with_bucket(cur_tbl.read(buckets=touched))
-        sat_cols = [f.name for f in cur_tbl.schema().fields]
 
         cur_live = cur.select(
             F.col(key),
@@ -226,13 +249,15 @@ def _apply_satellite(
             (F.col("ts") < F.col("_cur_vf"))
             | ((F.col("ts") == F.col("_cur_vf")) & (F.col("seq") < F.col("_cur_seq")))
         )
-        # NARROW chain: the whole versioning decision (stale detection,
-        # fresh filter, window, no-op guard) needs only key/ts/seq/
-        # hash_diff — ~100B/row. Running it narrow keeps `text` (the bulk
-        # of a transcript row) out of the chain's shuffles and spills;
-        # full rows are re-fetched ONCE per output by a (key, ts, seq)
-        # semi-join against the prepared-batch parquet, whose scan is
-        # column-pruned per consumer.
+        # NARROW chain: the whole versioning decision (in-batch chain,
+        # stale detection, fresh filter, no-op guard) needs only key/ts/
+        # seq/hash_diff — ~100B/row. Running it narrow keeps `text` (the
+        # bulk of a transcript row) out of the chain's shuffles and
+        # spills; full rows are re-fetched per output by anti-joins
+        # against the (tiny) dropped sets. The cur_live join shuffles on
+        # `key` and every window needs exactly that clustering, so join
+        # + chain + flags are ONE job — all decisions land in a single
+        # narrow spill.
         src_n = src.select(key, "ts", "seq", "hash_diff", BUCKET_COL)
         fresh = (
             F.col("_cur_diff").isNull()
@@ -240,26 +265,40 @@ def _apply_satellite(
             | ((F.col("ts") == F.col("_cur_vf")) & (F.col("seq") > F.col("_cur_seq")))
         )
         w = Window.partitionBy(key).orderBy("ts", "seq")
-        # running count of fresh rows per key: the first fresh row (the
-        # one the old row_number guard saw as _rn == 1) has _fidx == 1.
-        # The join shuffles on `key` and the window needs exactly that
-        # clustering, so join + window + flags are ONE job — every
-        # per-row decision (_stale, _win) lands in a single narrow spill
-        # instead of three chained spill/read barriers.
-        fidx = F.sum(fresh.cast("int")).over(
+        pd_ = F.lag("hash_diff").over(w)
+        surv = pd_.isNull() | (pd_ != F.col("hash_diff"))
+        joined = (
+            src_n.join(cur_live, key, "left")
+            .withColumn("_surv", surv)
+            .withColumn("_fresh", fresh)
+            .withColumn("_stale", stale)
+            .withColumn("_eq_cur", F.col("_cur_diff") == F.col("hash_diff"))
+        )
+        # running count of surviving fresh rows per key: the first one
+        # (the candidate the no-op guard compares to stored current) has
+        # _fidx == 1. _next_ts = ts of the NEXT surviving version (an
+        # unbounded-following frame over the same sort — no new shuffle).
+        fidx = F.sum((F.col("_fresh") & F.col("_surv")).cast("int")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        noop = (
-            fresh
-            & (fidx == 1)
-            & F.col("_cur_diff").isNotNull()
-            & (F.col("_cur_diff") == F.col("hash_diff"))
+        nxt = F.min(F.when(F.col("_surv"), F.col("ts"))).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
         )
-        decisions = (
-            src_n.join(cur_live, key, "left")
-            .withColumn("_stale", stale)
-            .withColumn("_win", fresh & ~noop)
-            .select(key, "ts", "seq", BUCKET_COL, "_stale", "_win")
+        noop = (
+            F.col("_surv")
+            & F.col("_fresh")
+            & (fidx == 1)
+            & F.col("_eq_cur").isNotNull()
+            & F.col("_eq_cur")
+        )
+        decisions = joined.select(
+            key,
+            "ts",
+            "seq",
+            BUCKET_COL,
+            "_stale",
+            (F.col("_surv") & F.col("_fresh") & ~noop).alias("_win"),
+            nxt.alias("_next_ts"),
         )
         spill_j = _spill_path(vault)
         decisions.write.mode("overwrite").option(
@@ -281,14 +320,16 @@ def _apply_satellite(
         )
         winners_n = decisions.filter(F.col("_win") & ~in_stale)
         # full winner rows = src MINUS the dropped set. In steady state
-        # almost every batch row survives the chain (drops = redeliveries,
-        # stale rows, the no-op guard), so the dropped set is tiny — the
-        # anti-join broadcasts under AQE and the full-text src rows never
-        # shuffle or sort on this path. (A semi-join against winner keys
-        # is the same rows but sort-merge-joins 1.8M text rows; measured
-        # 15s vs ~3s for the downstream write at local[16].)
+        # almost every batch row survives (drops = redeliveries, chain
+        # collapses, stale rows, the no-op guard), so the dropped set is
+        # tiny — the anti-join broadcasts under AQE and the full-text src
+        # rows never shuffle or sort on this path. Likewise the non-final
+        # (intermediate) versions are the rare within-batch supersedes,
+        # so recovering their full rows is a broadcast-sized inner join.
         dropped_n = decisions.filter(~F.col("_win") | in_stale).select(key, "ts", "seq")
-        winners = src.join(dropped_n, [key, "ts", "seq"], "left_anti")
+        inter_n = winners_n.filter(F.col("_next_ts").isNotNull()).select(
+            key, "ts", "seq", "_next_ts"
+        )
 
         def as_sat(df: DataFrame, valid_to) -> DataFrame:
             return df.select(
@@ -308,16 +349,20 @@ def _apply_satellite(
         # ---- fast path (buckets with in-order arrivals only) ----
         # batch-final winner per key -> new current (valid_to NULL);
         # earlier chain versions -> history with their chained end ts
-        finals = winners.filter(F.col("_next_ts").isNull())
-        intermediates = winners.filter(F.col("_next_ts").isNotNull())
-
-        cur_fast = (
-            cur.filter(~F.col(BUCKET_COL).isin(stale_buckets)) if stale_buckets else cur
+        intermediates = src.join(inter_n, [key, "ts", "seq"], "inner")
+        finals = src.join(
+            dropped_n.unionByName(inter_n.select(key, "ts", "seq")),
+            [key, "ts", "seq"],
+            "left_anti",
         )
+
         # shuffle_hash hint: enders is a narrow key set — hashing it beats
         # sort-merge, which would sort the full-text cur rows
         enders = winners_n.groupBy(key).agg(F.min("ts").alias("_end_ts")).hint(
             "shuffle_hash"
+        )
+        cur_fast = (
+            cur.filter(~F.col(BUCKET_COL).isin(stale_buckets)) if stale_buckets else cur
         )
         displaced = (
             cur_fast.join(enders, key, "inner")
@@ -397,22 +442,12 @@ def _apply_satellite(
             re_current = re_sat.filter(F.col("valid_to").isNull())
 
         # ---- current-table apply: merge-on-read ----
-        # The round-2 scale-killer was the COW rewrite here: replacing
-        # every touched bucket's full contents made per-batch write IO
-        # O(current ∩ touched buckets) — with uniform keys that is the
-        # whole current table per batch. Now only the CHANGED rows are
-        # written: the batch-final version per displaced/new key goes
-        # into per-bucket DELTA files (lake.upsert_delta) and readers
-        # last-wins-merge them; unchanged current rows are never
-        # rewritten. compact_deltas folds them back every
-        # DVX_SAT_DELTA_COMPACT commits per bucket, so the amortized
-        # rewrite is O(bucket / threshold) per batch.
-        #
-        # Crash ordering: the stale-bucket replacement carries NO epoch
-        # mark — only the delta commit does. A crash between them leaves
-        # the epoch unrecorded, so the re-run redoes both; the re-chain
-        # is a pure function of (stored state ∪ batch) and the delta
-        # upsert re-derives the same finals, so replay converges.
+        # Only the CHANGED rows are written: the batch-final version per
+        # displaced/new key goes into per-bucket DELTA files
+        # (lake.upsert_delta, last-wins-merged at read time); unchanged
+        # current rows are never rewritten. compact_deltas folds them
+        # back every DVX_SAT_DELTA_COMPACT commits per bucket, so the
+        # amortized rewrite is O(bucket / threshold) per batch.
         if epoch_id is None or cur_tbl.last_epoch(stream_id) < epoch_id:
             if re_current is not None:
                 cur_tbl.replace_buckets(stale_buckets, re_current)
@@ -426,7 +461,7 @@ def _apply_satellite(
         _mark("compact_deltas")
         if _prof:
             deltas = {b: round(tb - ta, 2) for (_, ta), (b, tb) in zip(_marks, _marks[1:])}
-            print(f"DVX_PROFILE_SAT {deltas}", flush=True)
+            print(f"DVX_PROFILE_SAT {spec.name} {deltas}", flush=True)
     finally:
         for d in (spill_j,):
             if d:
@@ -446,19 +481,19 @@ def apply_batch(
     """Apply one changelog micro-batch to the vault (idempotent).
 
     The prepared batch is materialized ONCE as scratch parquet and feeds
-    all four merges (the reference re-reads staging per entity; we
-    don't). Parquet spill instead of ``persist()``: downstream consumers
-    are column-disjoint (hubs/link read 3-5 narrow key columns, only the
-    satellite reads ``text``), so column-pruned parquet reads do strictly
-    less decompression than columnar-cache scans — and the block-manager
-    eviction race under concurrent jobs at high core counts made cached
-    replays bimodal (measured: identical profile runs at local[16]
-    swinging 43s ↔ 172s wall / 470 ↔ 2000 CPU-sec with persist(); spill
-    reads are deterministic). The four table merges are independent, so
-    they run as concurrent driver-thread jobs sharing the executors — the
-    per-batch fixed overhead (scheduling, commit latency) overlaps
-    instead of summing, which matters most for small/frequent
-    micro-batches.
+    every merge (the reference re-reads staging per entity; we don't).
+    Parquet spill instead of ``persist()``: downstream consumers are
+    column-disjoint (hubs/link read 3-5 narrow key columns, only a text
+    satellite reads ``text``), so column-pruned parquet reads do
+    strictly less decompression than columnar-cache scans — and the
+    block-manager eviction race under concurrent jobs at high core
+    counts made cached replays bimodal (measured: identical profile runs
+    at local[16] swinging 43s ↔ 172s wall / 470 ↔ 2000 CPU-sec with
+    persist(); spill reads are deterministic). The table merges are
+    independent, so they run as concurrent driver-thread jobs (each in
+    its own fair-scheduler pool) sharing the executors — the per-batch
+    fixed overhead (scheduling, commit latency) overlaps instead of
+    summing, which matters most for small/frequent micro-batches.
 
     ``collect_metrics`` additionally returns per-bucket row counts (one
     small agg on the spilled batch) for the lineage table.
@@ -480,21 +515,23 @@ def apply_batch(
             _pts[label] = round(_time.time() - _t0, 2)
             _t0 = _time.time()
 
+    registry = vault.registry
     desc_extras = evolve_for_batch(vault, batch)
     _pmark("evolve")
     # spills are scratch on tmpfs: snappy would cost CPU with no I/O to save
     spill = _spill_path(vault)
-    pre = prepare_batch(batch, salt_buckets)
+    pre = prepare_batch(batch, registry)
     pre.write.mode("overwrite").option("compression", "uncompressed").parquet(spill)
     prepared = vault.spark.read.schema(pre.schema).parquet(spill)
     _pmark("prepare_spill")
     try:
         summary = {"epochs": {stream_id: epoch_id}} if epoch_id is not None else None
 
+        first_sat = registry.satellites[0] if registry.satellites else None
         bucket_counts: list[tuple[int, int]] = []
         n = None
-        if collect_metrics:
-            bucketed = vault.sat_turn_text.with_bucket(prepared)
+        if collect_metrics and first_sat is not None:
+            bucketed = vault.table(first_sat.name).with_bucket(prepared)
             bucket_counts = [
                 (r[0], r[1])
                 for r in bucketed.groupBy(BUCKET_COL).count().collect()
@@ -504,53 +541,21 @@ def apply_batch(
             n = prepared.count()
         _pmark("counts")
 
-        sat_cols = [f.name for f in vault.sat_turn_text.schema().fields]
-        tasks = [
-            (
-                vault.hub_conversation,
-                prepared.select("conv_hash_key", "conv_id", "load_date", "record_source"),
-                "conv_hash_key",
-                ["conv_hash_key", "conv_id", "load_date", "record_source"],
-            ),
-            (
-                vault.hub_turn,
-                prepared.select(
-                    "turn_hash_key", "conv_id", "turn_idx", "load_date", "record_source"
-                ),
-                "turn_hash_key",
-                ["turn_hash_key", "conv_id", "turn_idx", "load_date", "record_source"],
-            ),
-            (
-                vault.link_conversation_turn,
-                prepared.select(
-                    "link_hash_key",
-                    "conv_hash_key",
-                    "turn_hash_key",
-                    "load_date",
-                    "record_source",
-                ),
-                "link_hash_key",
-                [
-                    "link_hash_key",
-                    "conv_hash_key",
-                    "turn_hash_key",
-                    "load_date",
-                    "record_source",
-                ],
-            ),
-        ]
-        sat_src = prepared.select(
-            *[c for c in sat_cols if c not in ("valid_from", "valid_to", "src_seq")],
-            "ts",
-            "seq",
-            "_next_ts",
-        )
+        audit = ["load_date", "record_source"]
+        tasks = []
+        for h in registry.hubs:
+            cols = [h.hash_key, *h.business_keys, *audit]
+            tasks.append((vault.table(h.name), prepared.select(*cols), h.hash_key, cols))
+        for l in registry.links:
+            cols = [l.hash_key, *l.parents, *audit]
+            tasks.append((vault.table(l.name), prepared.select(*cols), l.hash_key, cols))
+
         if parallel:
             # each merge thread gets its OWN fair-scheduler pool: with
             # spark.scheduler.mode=FAIR alone, all jobs land in the
             # default pool whose intra-pool scheduling is FIFO — an early
             # hub job would still hog every slot. Distinct on-demand pools
-            # (default weight 1) round-robin slots across the four merges.
+            # (default weight 1) round-robin slots across the merges.
             sc = vault.spark.sparkContext
 
             def _pooled(pool: str, fn, *args):
@@ -560,7 +565,7 @@ def apply_batch(
                 finally:
                     sc.setLocalProperty("spark.scheduler.pool", None)
 
-            with ThreadPoolExecutor(max_workers=4) as ex:
+            with ThreadPoolExecutor(max_workers=3 + len(registry.satellites)) as ex:
                 futs = [
                     ex.submit(
                         _pooled, f"dvx_merge_{i}",
@@ -568,22 +573,24 @@ def apply_batch(
                     )
                     for i, (tbl, src, key, cols) in enumerate(tasks)
                 ]
-                futs.append(
+                futs += [
                     ex.submit(
-                        _pooled, "dvx_merge_sat",
-                        _apply_satellite, vault, sat_src, epoch_id, stream_id, summary
+                        _pooled, f"dvx_merge_{s.name}",
+                        _apply_satellite, vault, s, prepared, epoch_id, stream_id, summary
                     )
-                )
+                    for s in registry.satellites
+                ]
                 for f in futs:
                     f.result()
             _pmark("merges")
         else:
             for tbl, src, key, cols in tasks:
                 _insert_new_keys(tbl, src, key, cols, epoch_id, stream_id, summary)
-            _apply_satellite(vault, sat_src, epoch_id, stream_id, summary)
+            for s in registry.satellites:
+                _apply_satellite(vault, s, prepared, epoch_id, stream_id, summary)
         if pit_dates:
             # maintain PIT snapshots incrementally while the prepared batch
-            # (with its already-computed hash keys) is still cached — no
+            # (with its already-computed hash keys) is still spilled — no
             # second Arrow hashing pass over the raw batch
             from dvx.pit import build_pit_incremental
 

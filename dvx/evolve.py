@@ -35,13 +35,19 @@ def validate_batch(batch: DataFrame) -> list[str]:
 
 
 def evolve_for_batch(vault: Vault, batch: DataFrame) -> list[str]:
-    """ALTER TABLE ADD COLUMN on sat_turn_text + pit_turn for every new
-    descriptive column in the batch. Metadata-only; no data rewrite."""
+    """ALTER TABLE ADD COLUMN on every dynamic-extras satellite (current
+    + history) and pit_turn for every new descriptive column in the
+    batch. Metadata-only; no data rewrite."""
     extras = validate_batch(batch)
     if not extras:
         return []
     batch_fields = {f.name: f for f in batch.schema.fields}
-    for tbl in (vault.sat_turn_text, vault.sat_turn_text_hist, vault.pit_turn):
+    tables = []
+    for s in vault.registry.satellites:
+        if s.dynamic_extras:
+            tables += [vault.table(s.name), vault.table(s.hist_name)]
+    tables.append(vault.pit_turn)
+    for tbl in tables:
         existing = {f.name for f in tbl.schema().fields}
         new_fields = [
             StructField(c, batch_fields[c].dataType, True)

@@ -142,6 +142,65 @@ def turn_all_hashes(
     )
 
 
+#: registry-shaped fused UDFs, cached by their output signature so a
+#: streaming job registers one UDF per registry, not one per micro-batch
+_FUSED_CACHE: dict[tuple, object] = {}
+
+
+def registry_hashes(registry, sat_diff_cols: dict[str, list]) -> Column:
+    """Every hash a changelog row needs for an entity registry, in ONE
+    Arrow pass (the generalized :func:`turn_all_hashes`): one business
+    key per hub, one link key per link (md5 over the upper-cased parent
+    hashes computed in-pass), one hash-diff per satellite.
+
+    ``sat_diff_cols`` maps satellite name -> the diff's input columns
+    (attrs + dynamic extras + is_deleted), resolved per batch by the
+    caller. Normalization (upper/trim/~NULL~/concat_ws) stays native
+    JVM; only the digests cross into Python, Arrow-batched.
+    """
+    hub_names = [h.hash_key for h in registry.hubs]
+    link_specs = [(l.hash_key, l.parents) for l in registry.links]
+    sat_names = [(s.diff_col, s.name) for s in registry.satellites]
+    out_fields = (
+        hub_names
+        + [n for n, _ in link_specs]
+        + [d for d, _ in sat_names]
+    )
+    sig = (
+        tuple(tuple((h.hash_key, h.business_keys)) for h in registry.hubs),
+        tuple(link_specs),
+        tuple(out_fields),
+    )
+    udf = _FUSED_CACHE.get(sig)
+    if udf is None:
+        out_type = StructType([StructField(n, StringType()) for n in out_fields])
+        n_hubs = len(hub_names)
+
+        @F.pandas_udf(out_type)
+        def _udf(*series: pd.Series) -> pd.DataFrame:
+            md5 = lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()  # noqa: E731
+            out: dict[str, pd.Series] = {}
+            for name, s in zip(hub_names, series[:n_hubs]):
+                out[name] = s.map(md5)
+            for (diff_name, _), s in zip(sat_names, series[n_hubs:]):
+                out[diff_name] = s.map(md5)
+            for name, parents in link_specs:
+                cat = out[parents[0]].str.upper()
+                for p in parents[1:]:
+                    cat = cat + DELIMITER + out[p].str.upper()
+                out[name] = cat.map(md5)
+            return pd.DataFrame({n: out[n] for n in out_fields})
+
+        udf = _udf
+        if len(_FUSED_CACHE) > 64:
+            _FUSED_CACHE.clear()
+        _FUSED_CACHE[sig] = udf
+    inputs = [normalized_concat(*h.business_keys) for h in registry.hubs] + [
+        normalized_concat(*sat_diff_cols[name]) for _, name in sat_names
+    ]
+    return udf(*inputs)
+
+
 def hash_sql(*cols: str) -> str:
     """ANSI-SQL equivalent (DuckDB-compatible) of :func:`hash_expr`,
     used by the oracle queries in __spark_entry__.py."""

@@ -160,9 +160,9 @@ def build_pit_range(vault: Vault, start_date: str, end_date: str) -> int:
 
 
 def build_bridge(vault: Vault) -> DataFrame:
-    """Bridge table: link ⋈ hub ⋈ hub ⋈ current-sat full refresh
-    (BusinessVaultETL.scala:404-494, J4). Returned (and small enough to
-    re-derive) rather than persisted — callers overwrite their own copy."""
+    """Bridge frame: link ⋈ hub ⋈ hub ⋈ current-sat (BusinessVaultETL
+    .scala:404-494, J4). :func:`refresh_bridge` materializes it into the
+    ``bridge_conversation_turn`` lake table for serving."""
     link = vault.link_conversation_turn.read()
     hub_c = vault.hub_conversation.read().select("conv_hash_key", "conv_id")
     hub_t = vault.hub_turn.read().select(
@@ -183,3 +183,60 @@ def build_bridge(vault: Vault) -> DataFrame:
             "conv_id", "turn_idx", "role", "text", "tool",
         )
     )
+
+
+def refresh_bridge(vault: Vault, touched_conv_keys: DataFrame | None = None) -> int:
+    """Materialize the bridge into ``bridge_conversation_turn``
+    (reference full-refresh overwrite, BusinessVaultETL.scala:480-483) so
+    BI serving pays ONE pre-joined scan instead of the 3-way join per
+    query (the claimed 5-20x win, BusinessVaultSchema.scala:365-396).
+
+    ``touched_conv_keys`` (a DataFrame of ``conv_hash_key``) switches to
+    the incremental form: only the buckets holding touched conversations
+    are recomputed and rewritten (COW) — write IO O(touched convs'
+    bridge rows); the recompute prunes the join inputs with a semi-join
+    on the touched keys. With no argument, every bucket is replaced (the
+    reference's full refresh).
+    """
+    tbl = vault.table("bridge_conversation_turn")
+    # refresh watermark (summary-recorded): the CLI's --incremental mode
+    # re-derives "touched since last refresh" from hub load_dates >= it
+    wm = vault.hub_conversation.read().agg(F.max("load_date")).first()[0]
+    summary = {"refreshed_through": wm} if wm else None
+    if touched_conv_keys is None:
+        frame = build_bridge(vault)
+        touched = list(range(tbl.snapshot()["num_buckets"]))
+        tbl.replace_buckets(touched, frame, summary=summary)
+        return len(touched)
+    keys = touched_conv_keys.select("conv_hash_key").distinct()
+    bucketed = tbl.with_bucket(keys)
+    touched = sorted(r[0] for r in bucketed.select("_bucket").distinct().collect())
+    if not touched:
+        return 0
+    # recompute bridge rows for EVERY conversation in the touched buckets
+    # (bucket contents are replaced wholesale): prune the link scan to
+    # those conversations via a hashed semi-join, then join as usual
+    convs = (
+        tbl.with_bucket(vault.hub_conversation.read().select("conv_hash_key"))
+        .filter(F.col("_bucket").isin(touched))
+        .select("conv_hash_key")
+    )
+    link = vault.link_conversation_turn.read().join(
+        convs.hint("shuffle_hash"), "conv_hash_key", "left_semi"
+    )
+    hub_c = vault.hub_conversation.read().select("conv_hash_key", "conv_id")
+    hub_t = vault.hub_turn.read().select("turn_hash_key", "turn_idx")
+    sat_cur = vault.sat_turn_text.read().filter(
+        F.col("valid_to").isNull() & F.col("is_deleted").isNull()
+    )
+    frame = (
+        link.join(hub_c, "conv_hash_key")
+        .join(hub_t, "turn_hash_key")
+        .join(sat_cur.select("turn_hash_key", "role", "text", "tool"), "turn_hash_key")
+        .select(
+            "link_hash_key", "conv_hash_key", "turn_hash_key",
+            "conv_id", "turn_idx", "role", "text", "tool",
+        )
+    )
+    tbl.replace_buckets(touched, frame, summary=summary)
+    return len(touched)

@@ -111,6 +111,25 @@ PIT_TURN = StructType(
     ]
 )
 
+# Materialized bridge (BusinessVaultETL.scala:404-494 full refresh;
+# BusinessVaultSchema.scala:365-396 rationale): the pre-joined
+# link ⋈ hub ⋈ hub ⋈ current-sat serving table. Bucketed by
+# conv_hash_key so (a) a conversation's rows are colocated for the
+# GROUP BY conv_id serving queries and (b) an incremental refresh can
+# rewrite only touched conversations' buckets.
+BRIDGE_CONVERSATION_TURN = StructType(
+    [
+        StructField("link_hash_key", StringType(), False),
+        StructField("conv_hash_key", StringType(), False),
+        StructField("turn_hash_key", StringType(), False),
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("tool", StringType(), True),
+    ]
+)
+
 LOAD_METADATA = StructType(
     [
         StructField("load_id", LongType(), False),  # epoch id for streaming loads
@@ -126,21 +145,77 @@ LOAD_METADATA = StructType(
     ]
 )
 
-TABLES = {
-    "hub_conversation": dict(schema=HUB_CONVERSATION, bucket_cols=["conv_hash_key"]),
-    "hub_turn": dict(schema=HUB_TURN, bucket_cols=["turn_hash_key"]),
-    "link_conversation_turn": dict(schema=LINK_CONVERSATION_TURN, bucket_cols=["link_hash_key"]),
-    # SCD2 satellite, split for merge-cost boundedness at 10^10 events:
-    # - sat_turn_text       CURRENT rows only (exactly one per key, incl.
-    #   tombstones) — the only satellite data COW merges ever rewrite, so
-    #   per-batch write IO is O(touched keys), not O(all versions);
-    # - sat_turn_text_hist  end-dated versions, append-only, never
-    #   rewritten. Full history = union (Vault.sat_all()).
-    "sat_turn_text": dict(schema=SAT_TURN_TEXT, bucket_cols=["turn_hash_key"]),
-    "sat_turn_text_hist": dict(schema=SAT_TURN_TEXT, bucket_cols=["turn_hash_key"]),
-    "pit_turn": dict(schema=PIT_TURN, partition_col="snapshot_date"),
-    "load_metadata": dict(schema=LOAD_METADATA),
-}
+#: column types resolvable from the changelog envelope; registry columns
+#: not in the envelope (shouldn't happen for the default) fall back to
+#: string
+_ENVELOPE_TYPES = {f.name: f.dataType for f in CHANGELOG_SCHEMA.fields}
+
+#: metadata tail shared by every satellite schema
+_SAT_META_FIELDS = [
+    StructField("hash_diff", StringType(), False),
+    StructField("valid_from", TimestampType(), False),
+    StructField("valid_to", TimestampType(), True),
+    StructField("is_deleted", StringType(), True),  # 'Y' tombstone else NULL
+    StructField("src_seq", LongType(), False),  # change seq (cross-batch LWW tie-break)
+    StructField("load_date", StringType(), False),
+    StructField("record_source", StringType(), False),
+]
+
+_AUDIT_FIELDS = [
+    StructField("load_date", StringType(), False),
+    StructField("record_source", StringType(), False),
+]
+
+
+def _typ(col: str):
+    return _ENVELOPE_TYPES.get(col, StringType())
+
+
+def hub_schema(spec) -> StructType:
+    return StructType(
+        [StructField(spec.hash_key, StringType(), False)]
+        + [StructField(k, _typ(k), False) for k in spec.business_keys]
+        + _AUDIT_FIELDS
+    )
+
+
+def link_schema(spec) -> StructType:
+    return StructType(
+        [StructField(spec.hash_key, StringType(), False)]
+        + [StructField(p, StringType(), False) for p in spec.parents]
+        + _AUDIT_FIELDS
+    )
+
+
+def sat_schema(spec) -> StructType:
+    return StructType(
+        [StructField(spec.parent_key, StringType(), False)]
+        + [StructField(a, _typ(a), True) for a in spec.attrs]
+        + _SAT_META_FIELDS
+    )
+
+
+def registry_tables(registry) -> dict[str, dict]:
+    """{table name: create spec} for an entity registry plus the fixed
+    business-vault/lineage tables. Satellites split into a bounded
+    CURRENT table (one row per key, incl. tombstones — the only
+    satellite data upserts touch) and an append-only HISTORY table
+    (end-dated versions, never rewritten); full history = their union
+    (Vault.sat_all)."""
+    out: dict[str, dict] = {}
+    for h in registry.hubs:
+        out[h.name] = dict(schema=hub_schema(h), bucket_cols=[h.hash_key])
+    for l in registry.links:
+        out[l.name] = dict(schema=link_schema(l), bucket_cols=[l.hash_key])
+    for s in registry.satellites:
+        out[s.name] = dict(schema=sat_schema(s), bucket_cols=[s.parent_key])
+        out[s.hist_name] = dict(schema=sat_schema(s), bucket_cols=[s.parent_key])
+    out["pit_turn"] = dict(schema=PIT_TURN, partition_col="snapshot_date")
+    out["bridge_conversation_turn"] = dict(
+        schema=BRIDGE_CONVERSATION_TURN, bucket_cols=["conv_hash_key"]
+    )
+    out["load_metadata"] = dict(schema=LOAD_METADATA)
+    return out
 
 
 class Vault:
@@ -148,12 +223,24 @@ class Vault:
 
     ``num_buckets`` sizes the merge parallelism: local tests use 8-16;
     at 10^10 events use e.g. 4096 so each bucket holds ~2.5M keys.
+    ``registry`` declares the entity shape (dvx.entities); the default
+    is the transcript-domain conversation/turn/text-satellite trio.
     """
 
-    def __init__(self, spark: SparkSession, warehouse: str, num_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        num_buckets: int = 16,
+        registry=None,
+    ):
+        from dvx.entities import DEFAULT_REGISTRY
+
         self.spark = spark
         self.warehouse = warehouse
         self.num_buckets = num_buckets
+        self.registry = registry or DEFAULT_REGISTRY
+        self.tables = registry_tables(self.registry)
 
     def path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
@@ -161,7 +248,7 @@ class Vault:
     def create_all_tables(self) -> None:
         """Idempotent CREATE-IF-NOT-EXISTS for the whole vault
         (RawVaultSchema.createAllTables pattern)."""
-        for name, spec in TABLES.items():
+        for name, spec in self.tables.items():
             kwargs: dict = {}
             if "bucket_cols" in spec:
                 kwargs["num_buckets"] = self.num_buckets
@@ -173,13 +260,13 @@ class Vault:
     def table(self, name: str) -> LakeTable:
         return LakeTable(self.spark, self.path(name))
 
-    def sat_all(self, buckets: list[int] | None = None):
+    def sat_all(self, buckets: list[int] | None = None, sat: str = "sat_turn_text"):
         """Full satellite history: current ∪ archived versions."""
-        cur = self.table("sat_turn_text").read(buckets=buckets)
-        hist = self.table("sat_turn_text_hist").read(buckets=buckets)
+        cur = self.table(sat).read(buckets=buckets)
+        hist = self.table(sat + "_hist").read(buckets=buckets)
         return cur.unionByName(hist)
 
     def __getattr__(self, name: str) -> LakeTable:
-        if name in TABLES:
+        if name in self.__dict__.get("tables", {}):
             return self.table(name)
         raise AttributeError(name)

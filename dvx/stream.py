@@ -60,13 +60,7 @@ def ingest_batch(
     """
     applied = min(
         vault.table(t).last_epoch(stream_id)
-        for t in (
-            "hub_conversation",
-            "hub_turn",
-            "link_conversation_turn",
-            "sat_turn_text",
-            "sat_turn_text_hist",
-        )
+        for t in vault.registry.table_names()
     )
     if applied >= epoch_id:
         if log_lineage:

@@ -64,13 +64,27 @@ def create_all_views(vault: Vault) -> list[str]:
 
     # conversation_360: the reference's headline PIT-rationale view
     # (BusinessVaultSchema.scala:365-396, SemanticModel.scala:138-218) —
-    # served from the bridge PRE-JOIN (link ⋈ hub ⋈ hub ⋈ current-sat),
-    # not re-derived from raw satellites, so a BI hit pays one pre-joined
-    # scan + one agg instead of the 3-way join (the claimed 5-20× win).
-    from dvx.pit import build_bridge
+    # served from the MATERIALIZED bridge table when it has been
+    # refreshed (dvx.pit.refresh_bridge), so a BI hit pays one
+    # pre-joined, conversation-colocated scan + one agg instead of the
+    # 3-way join per query (the claimed 5-20× win). Falls back to the
+    # derived bridge frame when the table was never refreshed; serving
+    # freshness follows the refresh cadence, like the reference's.
+    from dvx.lake import LakeTable
+
+    bridge_tbl = vault.table("bridge_conversation_turn")
+    materialized = LakeTable.exists(bridge_tbl.root) and bool(
+        bridge_tbl.snapshot()["files"] or bridge_tbl.snapshot().get("deltas")
+    )
+    if materialized:
+        bridge = bridge_tbl.read()
+    else:
+        from dvx.pit import build_bridge
+
+        bridge = build_bridge(vault)
 
     (
-        build_bridge(vault)
+        bridge
         .groupBy("conv_id")
         .agg(
             F.count("*").alias("n_turns"),

@@ -219,21 +219,45 @@ def test_schema_evolution_mid_stream(spark, tmp_path, changelog):
     assert live.filter("count > 1").count() == 0
 
 
-def test_prepare_batch_chains_versions(spark, changelog):
+def test_prepare_batch_dedups_and_hashes(spark, changelog):
     prepared = prepare_batch(changelog).persist()
-    # exact redeliveries collapsed: unique seq
-    assert prepared.groupBy("seq").count().filter("count>1").count() == 0
-    # every key present; updated keys carry >1 chained version
+    # exact redeliveries collapsed: unique (conv_id, turn_idx, ts, seq)
+    assert (
+        prepared.groupBy("conv_id", "turn_idx", "ts", "seq")
+        .count().filter("count>1").count()
+        == 0
+    )
+    # every key present; updated keys carry >1 version row
     assert (
         prepared.select("conv_id", "turn_idx").distinct().count()
         == changelog.select("conv_id", "turn_idx").distinct().count()
     )
     multi = prepared.groupBy("conv_id", "turn_idx").count().filter("count>1")
     assert multi.count() > 0
-    # exactly one batch-final (NULL _next_ts) version per key
-    finals = prepared.filter(F.col("_next_ts").isNull()).groupBy("conv_id", "turn_idx").count()
-    assert finals.filter("count>1").count() == 0
+    # all hub/link keys + the satellite diff came out of the fused pass
+    for c in ("conv_hash_key", "turn_hash_key", "link_hash_key",
+              "hash_diff__sat_turn_text"):
+        assert c in prepared.columns
+        assert prepared.filter(F.col(c).rlike("^[0-9a-f]{32}$")).count() == prepared.count()
     prepared.unpersist()
+
+
+def test_prepare_batch_resolves_ts_seq_ties_deterministically(spark):
+    """Distinct-content rows sharing (conv_id, turn_idx, ts, seq) — an
+    ingest-contract violation — resolve to the min attr struct, the same
+    row every replay (ADVICE round 2: ties must not be order-dependent)."""
+    rows = [
+        (1, "U", "c1", 0, "user", "zzz later content", None, "2024-01-01 00:00:00"),
+        (1, "U", "c1", 0, "user", "aaa earlier content", None, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "seq long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = prepare_batch(df).collect()
+    assert len(out) == 1
+    assert out[0]["op"] == "U" and out[0]["text"] == "aaa earlier content"
 
 
 def test_satellite_current_write_io_is_o_of_batch(spark, tmp_path, changelog):
@@ -259,3 +283,81 @@ def test_satellite_current_write_io_is_o_of_batch(spark, tmp_path, changelog):
     assert delta_bytes < base_bytes  # wrote the batch, not the table
     # and the merged read still matches the oracle
     assert_frames_equal(current_state(vault), oracle_state(changelog))
+
+
+def test_second_satellite_added_purely_by_config(spark, tmp_path, changelog):
+    """A role/tool-only satellite joins the vault via the registry — no
+    ETL code changes. It versions on ITS OWN hash-diff: text-only edits
+    create no meta version, so per-key meta versions == the chain
+    collapse of (role, tool, is_deleted) and never exceed text versions."""
+    from pyspark.sql.window import Window
+
+    from dvx.entities import DEFAULT_REGISTRY, SAT_TURN_META
+    from dvx.hashing import hash_expr
+
+    reg = DEFAULT_REGISTRY.with_satellite(SAT_TURN_META)
+    vault = Vault(spark, str(tmp_path / "wh_meta"), num_buckets=4, registry=reg)
+    vault.create_all_tables()
+    cut = changelog.selectExpr("percentile(cast(ts AS DOUBLE), 0.5) AS c").first()["c"]
+    cut_ts = F.lit(cut).cast("double").cast("timestamp")
+    apply_batch(vault, changelog.filter(F.col("ts") <= cut_ts), epoch_id=0)
+    apply_batch(vault, changelog.filter(F.col("ts") > cut_ts), epoch_id=1)
+
+    meta_counts = (
+        vault.sat_all(sat="sat_turn_meta")
+        .groupBy("turn_hash_key").agg(F.count("*").alias("n"))
+    )
+    hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    got = meta_counts.join(hub, "turn_hash_key").select("conv_id", "turn_idx", "n")
+
+    # one-shot oracle: chain collapse of the meta diff over the deduped log
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "seq")
+    dedup = changelog.dropDuplicates().withColumn(
+        "is_deleted", F.when(F.col("op") == "D", F.lit("Y")).cast("string")
+    )
+    chained = (
+        dedup.withColumn("_d", hash_expr("role", "tool", "is_deleted"))
+        .withColumn("_p", F.lag("_d").over(w))
+        .filter(F.col("_p").isNull() | (F.col("_p") != F.col("_d")))
+    )
+    want = chained.groupBy("conv_id", "turn_idx").agg(F.count("*").alias("n"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # meta never versions more than text (its diff covers fewer columns)
+    text_counts = (
+        vault.sat_all()
+        .groupBy("turn_hash_key").agg(F.count("*").alias("nt"))
+    )
+    over = (
+        meta_counts.join(text_counts, "turn_hash_key")
+        .filter(F.col("n") > F.col("nt")).count()
+    )
+    assert over == 0
+
+    # a TEXT-ONLY edit (role/tool unchanged) must version sat_turn_text
+    # but NOT sat_turn_meta — the per-satellite chaining point
+    live = vault.sat_turn_text.read().filter(
+        F.col("valid_to").isNull() & F.col("is_deleted").isNull()
+    )
+    hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
+    sample = (
+        live.join(hub, "turn_hash_key")
+        .select("conv_id", "turn_idx", "role", "tool")
+        .orderBy("conv_id", "turn_idx")
+        .limit(3)
+    )
+    edits = sample.select(
+        (F.lit(9 * 10**12) + F.monotonically_increasing_id()).alias("seq"),
+        F.lit("U").alias("op"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lit("totally new text only").alias("text"),
+        "tool",
+        F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+    )
+    before_meta = vault.sat_all(sat="sat_turn_meta").count()
+    before_text = vault.sat_all().count()
+    apply_batch(vault, edits, epoch_id=2)
+    assert vault.sat_all().count() == before_text + 3
+    assert vault.sat_all(sat="sat_turn_meta").count() == before_meta

@@ -114,3 +114,41 @@ def test_validators_catch_corruption(spark, tmp_path):
     report = validate_vault(vault)
     assert report["exit_code"] == 1
     assert not report["checks"]["sat_single_current"]["ok"]
+
+
+def test_bridge_materialization_and_incremental_refresh(spark, tmp_path):
+    """refresh_bridge materializes the serving pre-join; an incremental
+    refresh with touched conv keys rewrites only their buckets and
+    converges to the full-refresh contents."""
+    from dvx.apply import apply_batch
+    from dvx.changelog import synthetic_changelog
+    from dvx.pit import build_bridge, refresh_bridge
+
+    changelog = synthetic_changelog(spark, n_convs=30, hot_convs=1, hot_turns=40).persist()
+    cut = changelog.selectExpr("percentile(cast(ts AS DOUBLE), 0.5) AS c").first()["c"]
+    cut_ts = F.lit(cut).cast("double").cast("timestamp")
+    v = Vault(spark, str(tmp_path / "wh_bridge"), num_buckets=4)
+    v.create_all_tables()
+    apply_batch(v, changelog.filter(F.col("ts") <= cut_ts), epoch_id=0)
+    refresh_bridge(v)
+    tbl = v.table("bridge_conversation_turn")
+    t1 = tbl.read()
+    d1 = build_bridge(v)
+    assert t1.count() == d1.count()
+    assert t1.exceptAll(d1).count() == 0
+
+    # apply the rest, then refresh ONLY the touched conversations
+    apply_batch(v, changelog.filter(F.col("ts") > cut_ts), epoch_id=1)
+    touched = (
+        changelog.filter(F.col("ts") > cut_ts)
+        .select("conv_id").distinct()
+        .select(F.md5(F.upper(F.trim("conv_id"))).alias("conv_hash_key"))
+    )
+    n = refresh_bridge(v, touched)
+    assert n > 0
+    t2 = tbl.read()
+    d2 = build_bridge(v)
+    assert t2.count() == d2.count()
+    assert t2.exceptAll(d2).count() == 0
+    assert tbl.snapshot()["summary"]["refreshed_through"] is not None
+    changelog.unpersist()
