@@ -239,7 +239,11 @@ def _apply_satellite(
             return
         cur = cur_tbl.with_bucket(cur_tbl.read(buckets=touched))
 
-        cur_live = cur.select(
+        # the decisions pass needs only the version columns of current:
+        # a column-pruned read keeps the MOR last-wins agg off `text`
+        cur_live = cur_tbl.read(
+            buckets=touched, columns=[key, "hash_diff", "valid_from", "src_seq"]
+        ).select(
             F.col(key),
             F.col("hash_diff").alias("_cur_diff"),
             F.col("valid_from").alias("_cur_vf"),
@@ -404,7 +408,12 @@ def _apply_satellite(
             hist_re = as_version(
                 hist_tbl.with_bucket(hist_tbl.read(buckets=stale_buckets))
             )
-            cur_re = as_version(cur.filter(F.col(BUCKET_COL).isin(stale_buckets)))
+            # re-read only the stale buckets (manifest file pruning) — a
+            # filter on the merged `cur` would push an expression predicate
+            # below the MOR agg but still scan every touched bucket's files
+            cur_re = as_version(
+                cur_tbl.with_bucket(cur_tbl.read(buckets=stale_buckets))
+            )
             # dedup redeliveries on (key, ts, seq) with a deterministic
             # attr pick, then re-collapse consecutive duplicate diffs and
             # recompute the valid_from/valid_to chain — the one-shot

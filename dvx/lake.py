@@ -255,6 +255,7 @@ class LakeTable:
         *,
         buckets: list[int] | None = None,
         partitions: list[str] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, with manifest-level file pruning.
 
@@ -263,9 +264,19 @@ class LakeTable:
         Schema is imposed explicitly so files written before an additive
         column evolution null-fill the new columns (AvroReader.scala:283-313
         schema-merge semantics).
+
+        ``columns`` prunes the read schema to those columns (order
+        preserved; bucket cols are always included on bucketed tables so
+        the merge-on-read agg can key on them). This matters on the MOR
+        path: the last-wins merge agg then runs over the pruned struct —
+        a consumer that needs only the key/version columns never pays the
+        merge over ``text``.
         """
         m = self.snapshot(version)
         schema = StructType.fromJson(m["schema"])
+        if columns is not None:
+            want = set(columns) | set(m["bucket_cols"] or [])
+            schema = StructType([f for f in schema.fields if f.name in want])
         delta_map = m.get("deltas", {})
         keys = set(m["files"].keys()) | set(delta_map.keys())
         if buckets is not None:
