@@ -369,6 +369,88 @@ def q_lake_time_travel(spark, sf_dir):
     return tbl.read(version=epoch0).select("conv_id", "turn_idx")
 
 
+def q_recent_loads(spark, sf_dir):
+    """O1/O2 ORDER BY DESC LIMIT over load_metadata
+    (metadata.recent_loads, LoadMetadata.scala:255-267), keyed on the
+    deterministic load_id (audit timestamps are wall-clock)."""
+    from dvx import metadata
+
+    v = _get_vault(spark, sf_dir)
+    return metadata.recent_loads(v, n=2, by="load_id", status="COMPLETED").select(
+        F.col("load_id").alias("epoch"), "records_loaded"
+    )
+
+
+def q_lake_maintenance(spark, sf_dir):
+    """Snapshot maintenance end-to-end (S11/S13, IcebergWriter.scala:
+    295-426): a table written over several commits + MOR deltas is
+    compacted (files fold, deltas clear) and old snapshots expire
+    (unreferenced files deleted, oldest retained delta manifest
+    rewritten as a checkpoint) — and the CONTENTS still match the
+    declarative oracle afterwards."""
+    from dvx.lake import LakeTable
+    from dvx.schema import hub_schema
+
+    v = _get_vault(spark, sf_dir)
+    root = os.path.join(
+        os.environ.get("DVX_ENTRY_TMP", "/tmp"),
+        "dvx_entry_maint_" + os.path.basename(os.path.abspath(sf_dir).rstrip("/")),
+    )
+    marker = os.path.join(root, "_BUILT")
+    spec = v.registry.hubs[1]  # hub_turn
+    if not _is_built(marker):
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        tbl = LakeTable.create(
+            spark, os.path.join(root, "t"), hub_schema(spec),
+            num_buckets=8, bucket_cols=[spec.hash_key],
+        )
+        hub = v.hub_turn.read()
+        # several small commits -> many files per bucket + pending deltas
+        for m in range(3):
+            tbl.append(hub.filter(F.pmod(F.col("turn_idx"), F.lit(3)) == m))
+        tbl.upsert_delta(hub.filter(F.col("turn_idx") == 0))
+        tbl.compact(max_files_per_key=1)
+        tbl.expire_snapshots(retain_last=2)
+        with open(marker, "w") as f:
+            f.write(_BUILD_TAG)
+    tbl = LakeTable(spark, os.path.join(root, "t"))
+    assert all(s["file_count"] <= 1 for s in tbl.file_stats())
+    return tbl.read().select("turn_hash_key", "conv_id", "turn_idx")
+
+
+def q_lake_rollback(spark, sf_dir):
+    """Snapshot rollback (S12, IcebergWriter.scala:347-376): append two
+    commits, roll back to the first — the read must see only commit 1's
+    rows (declaratively: turns with turn_idx <= 2)."""
+    from dvx.lake import LakeTable
+    from dvx.schema import hub_schema
+
+    v = _get_vault(spark, sf_dir)
+    root = os.path.join(
+        os.environ.get("DVX_ENTRY_TMP", "/tmp"),
+        "dvx_entry_rollb_" + os.path.basename(os.path.abspath(sf_dir).rstrip("/")),
+    )
+    marker = os.path.join(root, "_BUILT")
+    spec = v.registry.hubs[1]
+    if not _is_built(marker):
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        tbl = LakeTable.create(
+            spark, os.path.join(root, "t"), hub_schema(spec),
+            num_buckets=8, bucket_cols=[spec.hash_key],
+        )
+        hub = v.hub_turn.read()
+        tbl.append(hub.filter(F.col("turn_idx") <= 2))
+        v1 = tbl.version()
+        tbl.append(hub.filter(F.col("turn_idx") > 2))
+        tbl.rollback(v1)
+        with open(marker, "w") as f:
+            f.write(_BUILD_TAG)
+    tbl = LakeTable(spark, os.path.join(root, "t"))
+    return tbl.read().select("turn_hash_key", "conv_id", "turn_idx")
+
+
 def q_view_conversation_summary(spark, sf_dir):
     """Semantic view layer (SemanticModel analog): conversation rollup."""
     from dvx.views import create_all_views
@@ -582,6 +664,22 @@ _CDC_ORACLES = {
     "lake_time_travel": f"""{_CL}
         SELECT DISTINCT conv_id, turn_idx FROM dedup
         WHERE ts < TIMESTAMP '{B1}'""",
+    "recent_loads": f"""{_CL},
+        flagged AS (
+          SELECT *, CASE WHEN ts < TIMESTAMP '{B1}' THEN 0
+                      WHEN ts < TIMESTAMP '{B2}' THEN 1 ELSE 2 END AS epoch
+          FROM dedup
+        )
+        SELECT CAST(epoch AS BIGINT) AS epoch, count(*) AS records_loaded
+        FROM flagged WHERE epoch >= 1 GROUP BY epoch""",
+    # compact + expire preserve contents (and file_stats shows <= 1
+    # base file per bucket, asserted in the query itself)
+    "lake_maintenance": f"""{_CL}
+        SELECT {hash_sql('conv_id', 'turn_idx')} AS turn_hash_key, conv_id, turn_idx
+        FROM (SELECT DISTINCT conv_id, turn_idx FROM dedup)""",
+    "lake_rollback": f"""{_CL}
+        SELECT {hash_sql('conv_id', 'turn_idx')} AS turn_hash_key, conv_id, turn_idx
+        FROM (SELECT DISTINCT conv_id, turn_idx FROM dedup) WHERE turn_idx <= 2""",
     "changelog_derivation": f"""{_CL}
         SELECT seq, op, conv_id, turn_idx, role, text, tool,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
@@ -1227,6 +1325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bridge": q_cdc_bridge,
         "cdc_pit_range": q_cdc_pit_range,
         "lake_time_travel": q_lake_time_travel,
+        "lake_maintenance": q_lake_maintenance,
+        "lake_rollback": q_lake_rollback,
+        "recent_loads": q_recent_loads,
         "changelog_derivation": q_changelog_derivation,
         "view_conversation_summary": q_view_conversation_summary,
         "view_tool_usage": q_view_tool_usage,

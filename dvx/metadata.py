@@ -115,6 +115,14 @@ def last_successful_load(vault: Vault, entity: str, stream_id: str | None = None
     return df.agg(F.max("load_id").alias("load_id"), F.max("load_end_ts").alias("ts")).first()
 
 
-def recent_loads(vault: Vault, n: int = 10) -> DataFrame:
-    """ORDER BY load_end_ts DESC LIMIT n (LoadMetadata.scala:255-267)."""
-    return vault.load_metadata.read().orderBy(F.desc_nulls_last("load_end_ts")).limit(n)
+def recent_loads(
+    vault: Vault, n: int = 10, by: str = "load_end_ts", status: str | None = None
+) -> DataFrame:
+    """ORDER BY <by> DESC LIMIT n (LoadMetadata.scala:255-267),
+    optionally restricted to one status row kind first. The default
+    audit ordering is wall-clock; deterministic callers (the
+    oracle-verified contract query) order by ``load_id``."""
+    df = vault.load_metadata.read()
+    if status is not None:
+        df = df.filter(F.col("status") == status)
+    return df.orderBy(F.desc_nulls_last(by), F.desc_nulls_last("load_end_ts")).limit(n)
