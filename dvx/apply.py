@@ -161,6 +161,7 @@ def _apply_satellite(
     epoch_id: int | None,
     stream_id: str,
     summary: dict | None,
+    touched: list[int] | None = None,
 ) -> None:
     """One satellite's SCD2 apply over its current/history split.
 
@@ -233,7 +234,8 @@ def _apply_satellite(
     src = cur_tbl.with_bucket(prepared.select(*proj, "ts", "seq"))
     spill_j = None
     try:
-        touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
+        if touched is None:
+            touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
         _mark("touched_collect")
         if not touched:
             return
@@ -539,6 +541,7 @@ def apply_batch(
         first_sat = registry.satellites[0] if registry.satellites else None
         bucket_counts: list[tuple[int, int]] = []
         n = None
+        sat_touched: dict[str, list[int]] = {}
         if collect_metrics and first_sat is not None:
             bucketed = vault.table(first_sat.name).with_bucket(prepared)
             bucket_counts = [
@@ -546,6 +549,14 @@ def apply_batch(
                 for r in bucketed.groupBy(BUCKET_COL).count().collect()
             ]
             n = sum(c for _, c in bucket_counts)
+            # the lineage agg already enumerated the touched buckets —
+            # hand them to every satellite sharing the same parent key
+            # (same hash, same vault-wide bucket count), saving each a
+            # distinct-collect job per batch
+            touched_list = sorted(b for b, c in bucket_counts if c)
+            for s in registry.satellites:
+                if s.parent_key == first_sat.parent_key:
+                    sat_touched[s.name] = touched_list
         else:
             n = prepared.count()
         _pmark("counts")
@@ -585,7 +596,8 @@ def apply_batch(
                 futs += [
                     ex.submit(
                         _pooled, f"dvx_merge_{s.name}",
-                        _apply_satellite, vault, s, prepared, epoch_id, stream_id, summary
+                        _apply_satellite, vault, s, prepared, epoch_id, stream_id,
+                        summary, sat_touched.get(s.name)
                     )
                     for s in registry.satellites
                 ]
@@ -596,7 +608,10 @@ def apply_batch(
             for tbl, src, key, cols in tasks:
                 _insert_new_keys(tbl, src, key, cols, epoch_id, stream_id, summary)
             for s in registry.satellites:
-                _apply_satellite(vault, s, prepared, epoch_id, stream_id, summary)
+                _apply_satellite(
+                    vault, s, prepared, epoch_id, stream_id, summary,
+                    sat_touched.get(s.name),
+                )
         if pit_dates:
             # maintain PIT snapshots incrementally while the prepared batch
             # (with its already-computed hash keys) is still spilled — no
