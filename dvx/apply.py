@@ -332,7 +332,12 @@ def _apply_satellite(
         # rows never shuffle or sort on this path. Likewise the non-final
         # (intermediate) versions are the rare within-batch supersedes,
         # so recovering their full rows is a broadcast-sized inner join.
-        dropped_n = decisions.filter(~F.col("_win") | in_stale).select(key, "ts", "seq")
+        # both sides restricted to fast buckets FIRST: on a stale-heavy
+        # batch the stale rows would otherwise swell the anti-join's
+        # right side past broadcast size and force a sort-merge over the
+        # full-text src rows
+        src_fast = src.filter(~in_stale) if stale_buckets else src
+        dropped_n = decisions.filter(~in_stale & ~F.col("_win")).select(key, "ts", "seq")
         inter_n = winners_n.filter(F.col("_next_ts").isNotNull()).select(
             key, "ts", "seq", "_next_ts"
         )
@@ -355,8 +360,8 @@ def _apply_satellite(
         # ---- fast path (buckets with in-order arrivals only) ----
         # batch-final winner per key -> new current (valid_to NULL);
         # earlier chain versions -> history with their chained end ts
-        intermediates = src.join(inter_n, [key, "ts", "seq"], "inner")
-        finals = src.join(
+        intermediates = src_fast.join(inter_n, [key, "ts", "seq"], "inner")
+        finals = src_fast.join(
             dropped_n.unionByName(inter_n.select(key, "ts", "seq")),
             [key, "ts", "seq"],
             "left_anti",
