@@ -88,6 +88,9 @@ def _get_vault(spark: SparkSession, sf_dir: str):
         ]
         for i, b in enumerate(batches):
             ingest_batch(vault, b, epoch_id=i, log_lineage=True)
+        # end-of-drain fold: serving reads get plain scans w/ pushdown
+        for s in vault.registry.satellites:
+            vault.table(s.name).compact_deltas(max_delta_files=1)
         build_pit(vault, PIT_DATE)
         from dvx.pit import refresh_bridge
 
@@ -128,6 +131,8 @@ def _get_evo_vault(spark: SparkSession, sf_dir: str):
         )
         ingest_batch(vault, b0, epoch_id=0, log_lineage=False)
         ingest_batch(vault, b1, epoch_id=1, log_lineage=False)
+        for s in vault.registry.satellites:
+            vault.table(s.name).compact_deltas(max_delta_files=1)
         changelog.unpersist()
         with open(marker, "w") as f:
             f.write(_BUILD_TAG)
@@ -169,6 +174,8 @@ def _get_meta_vault(spark: SparkSession, sf_dir: str):
         ]
         for i, b in enumerate(batches):
             ingest_batch(vault, b, epoch_id=i, log_lineage=False)
+        for s in vault.registry.satellites:
+            vault.table(s.name).compact_deltas(max_delta_files=1)
         changelog.unpersist()
         with open(marker, "w") as f:
             f.write(_BUILD_TAG)

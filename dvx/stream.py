@@ -138,6 +138,13 @@ def run_stream(
     )
     try:
         q.awaitTermination()
+        # drain finished: fold any remaining current-table deltas so
+        # serving reads revert to plain scans with filter pushdown and
+        # column pruning (mid-stream reads pay the merge-on-read agg;
+        # a drained table should not). This is the MOR design's
+        # scheduled compaction — once per drain, not per batch.
+        for s in vault.registry.satellites:
+            vault.table(s.name).compact_deltas(max_delta_files=1)
     except Exception as e:
         # swallow ONLY the injected crash (matched by its message, which
         # Spark wraps in StreamingQueryException) — any other failure in a
