@@ -350,7 +350,8 @@ class LakeTable:
         return df.withColumn(BUCKET_COL, self._bucket_expr(m["num_buckets"], m["bucket_cols"]))
 
     def _write_files(
-        self, df: DataFrame, manifest: dict, next_v: int, salts: int = 1
+        self, df: DataFrame, manifest: dict, next_v: int, salts: int = 1,
+        wide: bool = False,
     ) -> dict[str, list[str]]:
         """Write df physically split by partition key; return {key: [relpaths]}.
 
@@ -393,7 +394,15 @@ class LakeTable:
                     4 * manifest["num_buckets"], F.col(_PHYS), wsalt.alias("_w_salt")
                 )
             else:
-                df = df.repartition(4 * manifest["num_buckets"], F.col(_PHYS))
+                # wide (big rewrites): 4x partition headroom so two bucket
+                # keys rarely hash to the same writer task and idle the
+                # rest. Narrow (small appends — hubs/links/history/deltas,
+                # several per micro-batch): exactly num_buckets partitions;
+                # the 4x flood is mostly empty tasks whose scheduling cost
+                # is pure per-batch overhead, and a hash collision on a
+                # small write is harmless.
+                factor = 4 if wide else 1
+                df = df.repartition(factor * manifest["num_buckets"], F.col(_PHYS))
         else:
             if manifest["partition_col"]:
                 df = df.withColumn(_PHYS, F.col(manifest["partition_col"]).cast("string"))
@@ -550,7 +559,7 @@ class LakeTable:
                 )
                 merged = merge_fn(current, src)
                 merged = self._schema_aligned(merged, m)
-                new_files = self._write_files(merged, m, v + 1)
+                new_files = self._write_files(merged, m, v + 1, wide=True)
                 files = {k: ps for k, ps in m["files"].items() if int(k) not in set(touched)}
                 files.update(new_files)
                 # replacement contents supersede any pending deltas
@@ -584,7 +593,7 @@ class LakeTable:
             v = self.version()
             m = self.snapshot(v)
             merged = self._schema_aligned(self.with_bucket(contents), m)
-            new_files = self._write_files(merged, m, v + 1, salts=salts)
+            new_files = self._write_files(merged, m, v + 1, salts=salts, wide=True)
             files = {k: ps for k, ps in m["files"].items() if int(k) not in set(touched)}
             files.update(new_files)
             # replacement contents supersede any pending deltas
@@ -774,7 +783,9 @@ class LakeTable:
                 )
             else:
                 df = self.read(v, partitions=fat).repartition(max(1, len(fat)))
-            new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
+            new_files = self._write_files(
+                self._schema_aligned(df, m), m, v + 1, wide=True
+            )
             files = {k: ps for k, ps in m["files"].items() if k not in fat}
             files.update(new_files)
             deltas = {k: ps for k, ps in delta_map.items() if k not in fat}
