@@ -319,12 +319,20 @@ def _apply_satellite(
         )
         _mark("stale_collect")
 
-        # per-key windows are bucket-local, so excluding stale buckets
-        # AFTER the flag pass leaves fast-bucket decisions unchanged
-        in_stale = (
-            F.col(BUCKET_COL).isin(stale_buckets) if stale_buckets else F.lit(False)
-        )
-        winners_n = decisions.filter(F.col("_win") & ~in_stale)
+        # Staleness is KEY-granular: windows are per key, so only the
+        # keys that actually received an out-of-order row re-chain —
+        # every other key in the same bucket stays on the fast path.
+        # (Bucket-granular staleness re-chained whole buckets: ONE
+        # straggler event forced a dedup+window recompute over every
+        # key's full history in its bucket.) The anti-joins below are
+        # free when no stale rows exist, and broadcast-sized otherwise
+        # (stale keys are narrow and rare in a near-ordered stream).
+        stale_keys = decisions.filter("_stale").select(key).distinct()
+
+        def anti_stale(df: DataFrame) -> DataFrame:
+            return df.join(stale_keys, key, "left_anti") if stale_buckets else df
+
+        winners_n = anti_stale(decisions.filter(F.col("_win")))
         # full winner rows = src MINUS the dropped set. In steady state
         # almost every batch row survives (drops = redeliveries, chain
         # collapses, stale rows, the no-op guard), so the dropped set is
@@ -332,12 +340,10 @@ def _apply_satellite(
         # rows never shuffle or sort on this path. Likewise the non-final
         # (intermediate) versions are the rare within-batch supersedes,
         # so recovering their full rows is a broadcast-sized inner join.
-        # both sides restricted to fast buckets FIRST: on a stale-heavy
-        # batch the stale rows would otherwise swell the anti-join's
-        # right side past broadcast size and force a sort-merge over the
-        # full-text src rows
-        src_fast = src.filter(~in_stale) if stale_buckets else src
-        dropped_n = decisions.filter(~in_stale & ~F.col("_win")).select(key, "ts", "seq")
+        src_fast = anti_stale(src)
+        dropped_n = anti_stale(decisions.filter(~F.col("_win"))).select(
+            key, "ts", "seq"
+        )
         inter_n = winners_n.filter(F.col("_next_ts").isNotNull()).select(
             key, "ts", "seq", "_next_ts"
         )
@@ -368,15 +374,14 @@ def _apply_satellite(
         )
 
         # shuffle_hash hint: enders is a narrow key set — hashing it beats
-        # sort-merge, which would sort the full-text cur rows
+        # sort-merge, which would sort the full-text cur rows. Stale keys
+        # never appear in enders (winners_n excludes them), so the inner
+        # join needs no extra stale filter on the cur side.
         enders = winners_n.groupBy(key).agg(F.min("ts").alias("_end_ts")).hint(
             "shuffle_hash"
         )
-        cur_fast = (
-            cur.filter(~F.col(BUCKET_COL).isin(stale_buckets)) if stale_buckets else cur
-        )
         displaced = (
-            cur_fast.join(enders, key, "inner")
+            cur.join(enders, key, "inner")
             .withColumn("valid_to", F.col("_end_ts"))
             .select(*sat_cols, BUCKET_COL)
         )
@@ -393,7 +398,7 @@ def _apply_satellite(
 
         re_current = None
 
-        # ---- re-chain path (buckets that received out-of-order rows) ----
+        # ---- re-chain path (KEYS that received out-of-order rows) ----
         if stale_buckets:
             vcols = [
                 c for c in sat_cols if c not in ("valid_from", "valid_to", "src_seq")
@@ -409,22 +414,24 @@ def _apply_satellite(
                     F.col(BUCKET_COL),
                 )
 
-            inc_re = src.filter(F.col(BUCKET_COL).isin(stale_buckets)).select(
+            inc_re = src.join(stale_keys, key, "left_semi").select(
                 F.col(key), "ts", "seq", *attr_cols, F.col(BUCKET_COL)
             )
-            hist_re = as_version(
-                hist_tbl.with_bucket(hist_tbl.read(buckets=stale_buckets))
-            )
-            # re-read only the stale buckets (manifest file pruning) — a
-            # filter on the merged `cur` would push an expression predicate
-            # below the MOR agg but still scan every touched bucket's files
+            # read only the stale buckets (manifest file pruning), then
+            # restrict to the stale KEYS: the expensive dedup + window
+            # recompute below runs over O(stale keys' history), not the
+            # whole bucket's
+            hist_stale = hist_tbl.with_bucket(hist_tbl.read(buckets=stale_buckets))
+            hist_re = as_version(hist_stale.join(stale_keys, key, "left_semi"))
             cur_re = as_version(
-                cur_tbl.with_bucket(cur_tbl.read(buckets=stale_buckets))
+                cur_tbl.with_bucket(cur_tbl.read(buckets=stale_buckets)).join(
+                    stale_keys, key, "left_semi"
+                )
             )
             # dedup redeliveries on (key, ts, seq) with a deterministic
             # attr pick, then re-collapse consecutive duplicate diffs and
             # recompute the valid_from/valid_to chain — the one-shot
-            # semantics over everything ever seen for these buckets
+            # semantics over everything ever seen for these keys
             allv = (
                 inc_re.unionByName(hist_re)
                 .unionByName(cur_re)
@@ -450,26 +457,31 @@ def _apply_satellite(
                 ],
                 F.col(BUCKET_COL),
             )
-            hist_tbl.replace_buckets(
-                stale_buckets,
-                re_sat.filter(F.col("valid_to").isNotNull()),
-                summary=summary,
+            # history bucket rewrite: untouched keys pass through
+            # unmodified (one anti-join, no recompute); stale keys get
+            # their re-chained ended versions
+            new_hist = (
+                hist_stale.select(*sat_cols, BUCKET_COL)
+                .join(stale_keys, key, "left_anti")
+                .unionByName(re_sat.filter(F.col("valid_to").isNotNull()))
             )
+            hist_tbl.replace_buckets(stale_buckets, new_hist, summary=summary)
             re_current = re_sat.filter(F.col("valid_to").isNull())
 
         # ---- current-table apply: merge-on-read ----
         # Only the CHANGED rows are written: the batch-final version per
-        # displaced/new key goes into per-bucket DELTA files
-        # (lake.upsert_delta, last-wins-merged at read time); unchanged
-        # current rows are never rewritten. compact_deltas folds them
-        # back every DVX_SAT_DELTA_COMPACT commits per bucket, so the
-        # amortized rewrite is O(bucket / threshold) per batch.
+        # displaced/new key — and the re-chained current row per stale
+        # key (one row per key, disjoint from finals) — go into
+        # per-bucket DELTA files (lake.upsert_delta, last-wins-merged at
+        # read time); unchanged current rows are never rewritten.
+        # compact_deltas folds them back every DVX_SAT_DELTA_COMPACT
+        # commits per bucket, so the amortized rewrite is
+        # O(bucket / threshold) per batch.
         if epoch_id is None or cur_tbl.last_epoch(stream_id) < epoch_id:
+            delta_rows = as_sat(finals, F.lit(None).cast("timestamp"))
             if re_current is not None:
-                cur_tbl.replace_buckets(stale_buckets, re_current)
-            cur_tbl.upsert_delta(
-                as_sat(finals, F.lit(None).cast("timestamp")), summary=summary
-            )
+                delta_rows = delta_rows.unionByName(re_current)
+            cur_tbl.upsert_delta(delta_rows, summary=summary)
             _mark("upsert_delta")
             cur_tbl.compact_deltas(
                 int(os.environ.get("DVX_SAT_DELTA_COMPACT", "8"))
