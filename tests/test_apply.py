@@ -361,3 +361,50 @@ def test_second_satellite_added_purely_by_config(spark, tmp_path, changelog):
     apply_batch(vault, edits, epoch_id=2)
     assert vault.sat_all().count() == before_text + 3
     assert vault.sat_all(sat="sat_turn_meta").count() == before_meta
+
+
+def test_straggler_rechains_only_its_key(spark, tmp_path):
+    """Key-granular staleness: an out-of-order event for key A must not
+    recompute or alter key B's history, even when both share a bucket
+    (num_buckets=1 forces sharing)."""
+    from dvx.schema import Vault as _V
+
+    rows = [
+        # key A: two in-order versions, then a straggler arriving last
+        (1, "I", "cA", 0, "user", "a v1", None, "2024-01-01 00:00:00"),
+        (2, "U", "cA", 0, "user", "a v3", None, "2024-01-03 00:00:00"),
+        # key B: two in-order versions
+        (3, "I", "cB", 0, "user", "b v1", None, "2024-01-01 00:00:00"),
+        (4, "U", "cB", 0, "user", "b v2", None, "2024-01-02 00:00:00"),
+    ]
+    schema = (
+        "seq long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts string"
+    )
+    mk = lambda rs: spark.createDataFrame(rs, schema).withColumn(  # noqa: E731
+        "ts", F.col("ts").cast("timestamp")
+    )
+    vault = _V(spark, str(tmp_path / "wh_straggler"), num_buckets=1)
+    vault.create_all_tables()
+    apply_batch(vault, mk(rows), epoch_id=0)
+    hist_b_before = sorted(
+        (str(r.valid_from), r.text)
+        for r in vault.sat_all().filter("text LIKE 'b %'").collect()
+    )
+
+    straggler = [(5, "U", "cA", 0, "user", "a v2", None, "2024-01-02 00:00:00")]
+    apply_batch(vault, mk(straggler), epoch_id=1)
+
+    # key A: straggler spliced into the chain (3 versions, correct order)
+    a_hist = (
+        vault.sat_all().filter("text LIKE 'a %'")
+        .orderBy("valid_from").collect()
+    )
+    assert [r.text for r in a_hist] == ["a v1", "a v2", "a v3"]
+    assert [r.valid_to is None for r in a_hist] == [False, False, True]
+    # key B: byte-identical history (passed through, not recomputed)
+    hist_b_after = sorted(
+        (str(r.valid_from), r.text)
+        for r in vault.sat_all().filter("text LIKE 'b %'").collect()
+    )
+    assert hist_b_after == hist_b_before
