@@ -104,17 +104,41 @@ def main(argv: list[str] | None = None) -> int:
 
         touched = None
         if args.incremental:
-            # touched convs since the bridge's last refresh: hub rows whose
-            # load_date is on/after the refresh watermark in the bridge
-            # table summary (conservative over-approximation)
+            # Touched convs since the bridge's last refresh. Hub rows are
+            # insert-only (load_date = first-seen, never updated), so a
+            # hub-side watermark misses edits/deletes of pre-existing
+            # conversations; event-time (load_date) watermarks also have a
+            # cross-key skew hole. Instead: every change the satellite
+            # applied since the refresh lives in data files COMMITTED
+            # after the snapshot version recorded at refresh time (MOR
+            # deltas are O(changed rows); compaction rewrites widen this
+            # conservatively). Read just those files' keys and map them to
+            # conversations through the link.
             from pyspark.sql import functions as F
 
             tbl = vault.table("bridge_conversation_turn")
-            wm = tbl.snapshot().get("summary", {}).get("refreshed_through")
-            hub = vault.hub_conversation.read().select("conv_hash_key", "load_date")
-            touched = (
-                hub.filter(F.col("load_date") >= wm) if wm else hub
-            ).select("conv_hash_key")
+            sv = tbl.snapshot().get("summary", {}).get("refreshed_sat_version")
+            sat_tbl = vault.sat_turn_text
+            added = None
+            if sv is not None:
+                try:
+                    added = sat_tbl.files_added_since(int(sv))
+                except FileNotFoundError:
+                    added = None  # expired snapshot: fall back to full refresh
+            if added is not None:
+                changed_turns = (
+                    spark.read.schema(sat_tbl.schema())
+                    .parquet(*added)
+                    .select("turn_hash_key")
+                    if added
+                    else spark.createDataFrame([], "turn_hash_key string")
+                )
+                link = vault.link_conversation_turn.read().select(
+                    "conv_hash_key", "turn_hash_key"
+                )
+                touched = link.join(
+                    changed_turns, "turn_hash_key", "left_semi"
+                ).select("conv_hash_key")
         n = refresh_bridge(vault, touched)
         print(json.dumps({"buckets_refreshed": n}))
     elif args.cmd == "views":

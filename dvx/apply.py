@@ -632,10 +632,19 @@ def apply_batch(
         if pit_dates:
             # maintain PIT snapshots incrementally while the prepared batch
             # (with its already-computed hash keys) is still spilled — no
-            # second Arrow hashing pass over the raw batch
-            from dvx.pit import build_pit_incremental
+            # second Arrow hashing pass over the raw batch. The PIT is
+            # built over the text satellite (dvx.pit), so resolve its
+            # parent key from the registry rather than assuming a column.
+            from dvx.pit import PIT_SATELLITE, build_pit_incremental
 
-            touched_keys = prepared.select("turn_hash_key").distinct()
+            pit_sats = [s for s in registry.satellites if s.name == PIT_SATELLITE]
+            if not pit_sats:
+                raise ValueError(
+                    f"pit_dates maintenance requires the '{PIT_SATELLITE}' "
+                    "satellite in the registry (dvx.pit builds the PIT over it); "
+                    f"this registry has {[s.name for s in registry.satellites]}"
+                )
+            touched_keys = prepared.select(pit_sats[0].parent_key).distinct()
             for d in pit_dates:
                 build_pit_incremental(vault, d, touched_keys)
         if pit_dates:

@@ -449,10 +449,24 @@ class LakeTable:
         return df.select(*cols)
 
     def append(self, df: DataFrame, summary: dict | None = None) -> int:
-        """Append-only insert (Iceberg append sink, IcebergWriter.scala:86-121)."""
+        """Append-only insert (Iceberg append sink, IcebergWriter.scala:86-121).
+
+        Refuses to run while the table has pending MOR delta files: an
+        appended base file would carry a HIGHER commit version than the
+        existing deltas, so the read-time last-wins merge would silently
+        prefer it over an older ``upsert_delta`` row for the same key —
+        an ordering surprise no caller should get implicitly. Fold the
+        deltas first (:meth:`compact_deltas` with ``max_delta_files=1``)
+        or use :meth:`upsert_delta`."""
         while True:
             v = self.version()
             m = self.snapshot(v)
+            if any(m.get("deltas", {}).values()):
+                raise ValueError(
+                    f"append() on {self.root} with pending MOR delta files "
+                    "would reorder them in the last-wins merge; run "
+                    "compact_deltas(max_delta_files=1) first or use upsert_delta()"
+                )
             new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
             files = {k: list(ps) for k, ps in m["files"].items()}
             for k, ps in new_files.items():
@@ -675,6 +689,28 @@ class LakeTable:
                 return self._commit(v, manifest)
             except CommitConflict:
                 continue
+
+    def files_added_since(self, version: int) -> list[str]:
+        """Absolute paths of data files live in the CURRENT snapshot that
+        were not live at ``version`` — the change-capture surface for
+        downstream incremental refreshes (Iceberg's incremental-scan
+        analog). Because upserts are MOR deltas, the added files hold
+        exactly the rows written since (compaction commits widen this to
+        whole rewritten buckets — a conservative over-approximation).
+        Raises FileNotFoundError if ``version`` was expired."""
+        cur, old = self.snapshot(), self.snapshot(version)
+
+        def _all_paths(m: dict) -> set[str]:
+            out: set[str] = set()
+            for ps in m["files"].values():
+                out.update(ps)
+            for ps in m.get("deltas", {}).values():
+                out.update(ps)
+            return out
+
+        return sorted(
+            os.path.join(self.root, p) for p in _all_paths(cur) - _all_paths(old)
+        )
 
     def file_stats(self, version: int | None = None) -> list[dict]:
         """Per-partition-key file statistics at a snapshot — the

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 from dvx.schema import Vault
 
+#: the satellite the PIT/bridge layer is built over (its parent key is
+#: the PIT grain); apply_batch's pit_dates path resolves it by this name
+PIT_SATELLITE = "sat_turn_text"
+
 _ATTR_EXCLUDE = {"turn_hash_key", "hash_diff", "valid_from", "valid_to",
                  "is_deleted", "src_seq", "load_date", "record_source"}
 
@@ -199,10 +203,14 @@ def refresh_bridge(vault: Vault, touched_conv_keys: DataFrame | None = None) -> 
     reference's full refresh).
     """
     tbl = vault.table("bridge_conversation_turn")
-    # refresh watermark (summary-recorded): the CLI's --incremental mode
-    # re-derives "touched since last refresh" from hub load_dates >= it
-    wm = vault.hub_conversation.read().agg(F.max("load_date")).first()[0]
-    summary = {"refreshed_through": wm} if wm else None
+    # refresh watermark (summary-recorded): the text satellite's snapshot
+    # VERSION at refresh time. The CLI's --incremental mode derives
+    # "touched since last refresh" from the data files the satellite
+    # committed after this version (lake.files_added_since) — a
+    # processing-order watermark. An event-time watermark (load_date)
+    # would miss edits whose event ts is older than another key's
+    # first-seen date (cross-key event-time skew).
+    summary = {"refreshed_sat_version": vault.sat_turn_text.version()}
     if touched_conv_keys is None:
         frame = build_bridge(vault)
         touched = list(range(tbl.snapshot()["num_buckets"]))

@@ -33,6 +33,19 @@ from dvx.schema import CHANGELOG_SCHEMA, Vault
 
 ENTITY = "transcript_changes"
 
+#: sentinel token for the fail_after_batches test hook. The Python
+#: exception TYPE does not survive the foreachBatch -> JVM ->
+#: StreamingQueryException round trip — only the message text does — so
+#: recognition is by this (collision-proof) token, not isinstance.
+_INJECT_TOKEN = "dvx::injected-restart-failure::d41d8cd9"
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the ``fail_after_batches`` restart-test hook."""
+
+    def __init__(self) -> None:
+        super().__init__(_INJECT_TOKEN)
+
 
 def ingest_batch(
     vault: Vault,
@@ -113,7 +126,7 @@ def run_stream(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if fail_after_batches is not None and processed["n"] >= fail_after_batches:
-            raise RuntimeError("injected failure for restart test")
+            raise InjectedFailure()
         ingest_batch(
             vault,
             batch_df,
@@ -136,25 +149,30 @@ def run_stream(
         .trigger(availableNow=True)
         .start()
     )
+    injected = False
     try:
         q.awaitTermination()
-        # drain finished: fold any remaining current-table deltas so
-        # serving reads revert to plain scans with filter pushdown and
-        # column pruning (mid-stream reads pay the merge-on-read agg;
-        # a drained table should not). This is the MOR design's
-        # scheduled compaction — once per drain, not per batch.
-        for s in vault.registry.satellites:
-            vault.table(s.name).compact_deltas(max_delta_files=1)
     except Exception as e:
-        # swallow ONLY the injected crash (matched by its message, which
-        # Spark wraps in StreamingQueryException) — any other failure in a
-        # fail_after_batches run is a real bug and must propagate, or the
-        # restart test would "pass" while masking it
-        if fail_after_batches is None or "injected failure for restart test" not in str(e):
+        # swallow ONLY the injected crash (matched by its sentinel token,
+        # which Spark wraps in StreamingQueryException) — any other
+        # failure in a fail_after_batches run is a real bug and must
+        # propagate, or the restart test would "pass" while masking it
+        injected = fail_after_batches is not None and _INJECT_TOKEN in str(e)
+        if not injected:
             raise
     finally:
         if q.isActive:
             q.stop()
+        # fold any remaining current-table deltas so serving reads revert
+        # to plain scans with filter pushdown and column pruning
+        # (mid-stream reads pay the merge-on-read agg; a drained table
+        # should not). Runs in finally so a drained-but-errored run still
+        # folds — compaction only reads the last COMMITTED snapshot, so
+        # it is safe at any point. Skipped after the injected crash: the
+        # restart tests examine the mid-stream state on purpose.
+        if not injected:
+            for s in vault.registry.satellites:
+                vault.table(s.name).compact_deltas(max_delta_files=1)
     return processed["n"]
 
 

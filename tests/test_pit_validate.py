@@ -150,5 +150,49 @@ def test_bridge_materialization_and_incremental_refresh(spark, tmp_path):
     d2 = build_bridge(v)
     assert t2.count() == d2.count()
     assert t2.exceptAll(d2).count() == 0
-    assert tbl.snapshot()["summary"]["refreshed_through"] is not None
+    assert tbl.snapshot()["summary"]["refreshed_sat_version"] is not None
     changelog.unpersist()
+
+
+def test_cli_bridge_incremental_catches_edits(spark, tmp_path):
+    """CLI-path regression for the touched-key derivation: an EDIT to a
+    turn of a conversation loaded before the last bridge refresh must be
+    picked up by `bridge --incremental` (hub load_dates never move on
+    edits — the derivation must come from satellite commits)."""
+    import datetime as dt
+
+    from dvx.__main__ import main
+    from dvx.schema import CHANGELOG_SCHEMA
+
+    wh = str(tmp_path / "wh")
+    base = ["--warehouse", wh, "--num-buckets", "4"]
+    v = Vault(spark, wh, num_buckets=4)
+    v.create_all_tables()
+
+    def ev(seq, op, conv, idx, text, ts):
+        return (seq, op, conv, idx, "user", text, None, ts)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    b1 = spark.createDataFrame(
+        [ev(1, "I", "c1", 0, "hello", t0), ev(2, "I", "c2", 0, "hi", t0)],
+        CHANGELOG_SCHEMA,
+    )
+    apply_batch(v, b1, epoch_id=0)
+    assert main([*base, "bridge"]) == 0  # full refresh records the watermark
+
+    # an edit to the PRE-EXISTING conversation c1 (no new hub rows at all)
+    b2 = spark.createDataFrame(
+        [ev(3, "U", "c1", 0, "hello edited", t0 + dt.timedelta(hours=1))],
+        CHANGELOG_SCHEMA,
+    )
+    apply_batch(v, b2, epoch_id=1)
+    assert main([*base, "bridge", "--incremental"]) == 0
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in v.table("bridge_conversation_turn").read().collect()
+    }
+    assert got[("c1", 0)] == "hello edited"
+    assert got[("c2", 0)] == "hi"
+
+    # nothing changed since: incremental refresh is a no-op (0 buckets)
+    assert main([*base, "bridge", "--incremental"]) == 0
