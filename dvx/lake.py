@@ -55,6 +55,12 @@ Scale design
 - File pruning happens in *metadata* (the manifest), so a point lookup
   or a merge never lists directories or scans untouched buckets.
 - Commits are metadata-only; carried-over buckets are never rewritten.
+- Tables may combine a value partition WITH hash buckets (Iceberg's
+  ``PARTITIONED BY (days(ts), bucket(N, key))`` composite): the manifest
+  key is ``"<partition>|<bucket>"`` and reads/replacements prune on
+  either half. This is what lets the incremental PIT maintain one
+  snapshot-date partition with O(touched buckets) write IO instead of
+  rewriting the whole date per micro-batch.
 - Bucketed tables additionally support **merge-on-read upserts**
   (``upsert_delta`` — the Iceberg format-v2 row-level-delta analog):
   per-bucket delta files whose rows replace same-key base rows at read
@@ -94,6 +100,20 @@ __all__ = ["LakeTable", "BUCKET_COL", "CommitConflict"]
 
 class CommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic CC)."""
+
+
+def _is_composite(m: dict) -> bool:
+    """Composite layout: value partition + hash buckets (manifest keys
+    are ``"<partition>|<bucket>"``)."""
+    return m["num_buckets"] is not None and bool(m.get("partition_col"))
+
+
+def _part_of(k: str) -> str:
+    return k.split("|", 1)[0]
+
+
+def _bucket_of(k: str, composite: bool) -> str:
+    return k.split("|", 1)[1] if composite else k
 
 
 def _log_dir(root: str) -> str:
@@ -256,11 +276,15 @@ class LakeTable:
         buckets: list[int] | None = None,
         partitions: list[str] | None = None,
         columns: list[str] | None = None,
+        keys: list[str] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, with manifest-level file pruning.
 
         ``buckets``/``partitions`` restrict to those partition keys without
-        touching any other file (metadata pruning — no directory listing).
+        touching any other file (metadata pruning — no directory listing);
+        on composite tables they match the bucket / partition HALF of the
+        ``"<partition>|<bucket>"`` key. ``keys`` matches manifest keys
+        verbatim (the maintenance surface).
         Schema is imposed explicitly so files written before an additive
         column evolution null-fill the new columns (AvroReader.scala:283-313
         schema-merge semantics).
@@ -278,13 +302,18 @@ class LakeTable:
             want = set(columns) | set(m["bucket_cols"] or [])
             schema = StructType([f for f in schema.fields if f.name in want])
         delta_map = m.get("deltas", {})
-        keys = set(m["files"].keys()) | set(delta_map.keys())
+        live = set(m["files"].keys()) | set(delta_map.keys())
+        composite = _is_composite(m)
         if buckets is not None:
             want = {str(b) for b in buckets}
-            keys = [k for k in keys if k in want]
+            live = {k for k in live if _bucket_of(k, composite) in want}
         if partitions is not None:
             want = set(map(str, partitions))
-            keys = [k for k in keys if k in want]
+            live = {k for k in live if (_part_of(k) if composite else k) in want}
+        if keys is not None:
+            want = set(map(str, keys))
+            live = {k for k in live if k in want}
+        keys = live
         plain_keys = [k for k in keys if not delta_map.get(k)]
         mor_keys = sorted(k for k in keys if delta_map.get(k))
         plain_files = [
@@ -379,7 +408,15 @@ class LakeTable:
                 df = df.withColumn(
                     BUCKET_COL, self._bucket_expr(manifest["num_buckets"], manifest["bucket_cols"])
                 )
-            df = df.withColumn(_PHYS, F.col(BUCKET_COL).cast("string"))
+            phys = F.col(BUCKET_COL).cast("string")
+            if manifest.get("partition_col"):
+                # composite layout: "<partition>|<bucket>" ('|' is not in
+                # Spark's partition-path escape set, so the directory name
+                # round-trips verbatim)
+                phys = F.concat(
+                    F.col(manifest["partition_col"]).cast("string"), F.lit("|"), phys
+                )
+            df = df.withColumn(_PHYS, phys)
             if salts > 1:
                 # spread each bucket over `salts` writer tasks: hash
                 # collisions in the bucket->task assignment otherwise idle
@@ -451,22 +488,44 @@ class LakeTable:
     def append(self, df: DataFrame, summary: dict | None = None) -> int:
         """Append-only insert (Iceberg append sink, IcebergWriter.scala:86-121).
 
-        Refuses to run while the table has pending MOR delta files: an
+        Refuses to append a row whose key has a PENDING MOR delta: the
         appended base file would carry a HIGHER commit version than the
-        existing deltas, so the read-time last-wins merge would silently
-        prefer it over an older ``upsert_delta`` row for the same key —
-        an ordering surprise no caller should get implicitly. Fold the
-        deltas first (:meth:`compact_deltas` with ``max_delta_files=1``)
-        or use :meth:`upsert_delta`."""
+        delta, so the read-time last-wins merge would silently prefer it
+        over the older ``upsert_delta`` row — an ordering surprise no
+        caller should get implicitly. Fold first (:meth:`compact_deltas`
+        with ``max_delta_files=1``) or use :meth:`upsert_delta`.
+        Distinct-key appends alongside pending deltas are safe (the
+        merge is per key) and allowed; the overlap check only costs a
+        job when deltas are actually pending — never on the hub/link/
+        history append hot path."""
         while True:
             v = self.version()
             m = self.snapshot(v)
-            if any(m.get("deltas", {}).values()):
-                raise ValueError(
-                    f"append() on {self.root} with pending MOR delta files "
-                    "would reorder them in the last-wins merge; run "
-                    "compact_deltas(max_delta_files=1) first or use upsert_delta()"
+            dpaths = [
+                os.path.join(self.root, p)
+                for ps in m.get("deltas", {}).values()
+                for p in ps
+            ]
+            if dpaths:
+                key_cols = m["bucket_cols"]
+                kschema = StructType(
+                    [f for f in StructType.fromJson(m["schema"]).fields
+                     if f.name in key_cols]
                 )
+                dkeys = self.spark.read.schema(kschema).parquet(*dpaths)
+                clash = (
+                    df.select(*key_cols)
+                    .join(dkeys, key_cols, "left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if clash:
+                    raise ValueError(
+                        f"append() on {self.root}: a row's key has a pending "
+                        "MOR delta file, and the appended base would win the "
+                        "last-wins merge over it; run compact_deltas("
+                        "max_delta_files=1) first or use upsert_delta()"
+                    )
             new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
             files = {k: list(ps) for k, ps in m["files"].items()}
             for k, ps in new_files.items():
@@ -484,20 +543,35 @@ class LakeTable:
             v = self.version()
             m = self.snapshot(v)
             salts = max(2, self.spark.sparkContext.defaultParallelism)
+            new_files = self._write_files(
+                self._schema_aligned(df, m), m, v + 1, salts=salts
+            )
+            deltas = None
             if not m["partition_col"] and m["num_buckets"] is None:
                 # unpartitioned: full overwrite
-                new_files = self._write_files(
-                    self._schema_aligned(df, m), m, v + 1, salts=salts
-                )
                 files = dict(new_files)
+            elif _is_composite(m):
+                # composite layout: replace every (partition, bucket) key of
+                # the partition VALUES present in df — dynamic partition
+                # overwrite semantics on the partition half of the key
+                parts_touched = {_part_of(k) for k in new_files}
+                files = {
+                    k: ps for k, ps in m["files"].items()
+                    if _part_of(k) not in parts_touched
+                }
+                files.update(new_files)
+                deltas = {
+                    k: ps for k, ps in m.get("deltas", {}).items()
+                    if _part_of(k) not in parts_touched
+                }
             else:
-                new_files = self._write_files(
-                    self._schema_aligned(df, m), m, v + 1, salts=salts
-                )
                 files = {k: ps for k, ps in m["files"].items() if k not in new_files}
                 files.update(new_files)
             try:
-                return self._commit_next(m, v, "overwrite_partitions", files, new_files, summary)
+                return self._commit_next(
+                    m, v, "overwrite_partitions", files, new_files, summary,
+                    deltas=deltas,
+                )
             except CommitConflict:
                 continue
 
@@ -540,11 +614,11 @@ class LakeTable:
         v = self.version()
         m = self.snapshot(v)
         fat = sorted(
-            int(k) for k, ps in m.get("deltas", {}).items() if len(ps) >= max_delta_files
+            k for k, ps in m.get("deltas", {}).items() if len(ps) >= max_delta_files
         )
         if not fat:
             return 0
-        contents = self.read(v, buckets=fat)  # merged view
+        contents = self.read(v, keys=fat)  # merged view
         self.replace_buckets(
             fat, contents, summary={"compacted_delta_buckets": len(fat)}
         )
@@ -574,12 +648,16 @@ class LakeTable:
                 merged = merge_fn(current, src)
                 merged = self._schema_aligned(merged, m)
                 new_files = self._write_files(merged, m, v + 1, wide=True)
-                files = {k: ps for k, ps in m["files"].items() if int(k) not in set(touched)}
+                tset = {str(t) for t in touched}
+                files = {
+                    k: ps for k, ps in m["files"].items()
+                    if _bucket_of(k, _is_composite(m)) not in tset
+                }
                 files.update(new_files)
                 # replacement contents supersede any pending deltas
                 deltas = {
                     k: ps for k, ps in m.get("deltas", {}).items()
-                    if int(k) not in set(touched)
+                    if _bucket_of(k, _is_composite(m)) not in tset
                 }
                 try:
                     return self._commit_next(
@@ -598,22 +676,26 @@ class LakeTable:
         salts: int = 1,
     ) -> int:
         """Low-level COW commit: replace the file sets of ``touched``
-        buckets with ``contents`` (which must be exactly those buckets'
+        keys with ``contents`` (which must be exactly those keys'
         new rows). merge() is this plus the read-modify step; callers
         that already computed the replacement (e.g. the satellite
         current/history split) use this directly. ``salts`` > 1 widens
-        the writer stage for large rewrites (see _write_files)."""
+        the writer stage for large rewrites (see _write_files).
+
+        ``touched`` entries are bucket ids (ints) on plain bucketed
+        tables, or full ``"<partition>|<bucket>"`` key strings on
+        composite tables (the incremental-PIT path)."""
         while True:
             v = self.version()
             m = self.snapshot(v)
             merged = self._schema_aligned(self.with_bucket(contents), m)
             new_files = self._write_files(merged, m, v + 1, salts=salts, wide=True)
-            files = {k: ps for k, ps in m["files"].items() if int(k) not in set(touched)}
+            tset = {str(t) for t in touched}
+            files = {k: ps for k, ps in m["files"].items() if k not in tset}
             files.update(new_files)
             # replacement contents supersede any pending deltas
             deltas = {
-                k: ps for k, ps in m.get("deltas", {}).items()
-                if int(k) not in set(touched)
+                k: ps for k, ps in m.get("deltas", {}).items() if k not in tset
             }
             try:
                 return self._commit_next(
@@ -813,7 +895,7 @@ class LakeTable:
             if not fat:
                 return v
             if m["num_buckets"] is not None:
-                df = self.read(v, buckets=[int(k) for k in fat]).repartition(len(fat))
+                df = self.read(v, keys=fat).repartition(max(1, len(fat)))
                 df = df.withColumn(
                     BUCKET_COL, self._bucket_expr(m["num_buckets"], m["bucket_cols"])
                 )

@@ -10,8 +10,10 @@ Five families, all deterministic (hash-seeded, no RNG) and shuffle-aware:
 - :func:`simhash` — 32-bit SimHash from per-token MD5 nibble votes.
 - :func:`jaccard_pairs` — exact n-gram Jaccard over an inverted-index
   self-join (the verification stage after LSH candidate generation).
-- :func:`embedding_near_dups` — cosine near-duplicate pairs over an
-  embedding column (see dvx.ops.similarity for the scaled ANN path).
+- :func:`near_dups_lsh` — cosine near-duplicate pairs over an embedding
+  column: banded hyperplane-LSH candidates -> exact cosine re-rank
+  (the product path); :func:`embedding_near_dups` is its brute-force
+  O(n²) recall oracle (verification only).
 
 Scale notes
 -----------
@@ -194,13 +196,90 @@ def jaccard_pairs(
     )
 
 
+def near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 2,
+    max_bucket: int = 100000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs at scale — the PRODUCT path.
+
+    Banded hyperplane-LSH candidate generation (a pair is a candidate if
+    its signatures collide in ANY of ``num_tables`` independent tables)
+    -> exact cosine re-rank -> threshold filter. The self-join is keyed
+    on the (table, signature) bucket, so cost is O(candidates), never
+    O(n²) — :func:`embedding_near_dups` is the all-pairs
+    verification-grade oracle of this op, not the path to run on a
+    corpus. Deterministic: hyperplanes are md5-derived literals
+    (dvx.ops.similarity.hyperplanes), so the approximate candidate set
+    is bit-reproducible in any engine.
+
+    ``max_bucket`` is the hot-bucket guard (same rationale as
+    :func:`lsh_pairs`): a degenerate signature bucket — e.g. a corpus
+    of near-identical embeddings — would emit O(n²) pairs in one join
+    task; such a bucket carries no *pair-level* signal beyond "all
+    near-identical". Recall at the threshold is tuned by
+    (num_planes, num_tables): P[candidate] = 1 - (1 - (1 - θ/π)^planes)
+    ^tables with θ = arccos(threshold).
+    """
+    from dvx.ops.similarity import _dim_of, cosine, hyperplanes, lsh_signature
+
+    if dim is None:
+        dim = _dim_of(emb, vec_col)
+    bands = [hyperplanes(num_planes, dim, table=t) for t in range(num_tables)]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_signature(F.col(vec_col), bands[t]).alias("sig"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    sigs = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.explode(entries).alias("_e"),
+    ).select("id", "v", "_e.tbl", "_e.sig")
+    bucket_df = sigs.groupBy("tbl", "sig").agg(F.count("*").alias("_bdf"))
+    sigs = sigs.join(
+        bucket_df.filter(F.col("_bdf") <= max_bucket).select("tbl", "sig"),
+        ["tbl", "sig"],
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Cosine near-duplicate pairs (brute force — the verification-grade
-    path; use dvx.ops.similarity.lsh_ann for candidate generation at
-    scale). Double-precision accumulation in array order so the oracle's
-    list_cosine_similarity agrees."""
+    """Cosine near-duplicate pairs (brute force — the VERIFICATION-grade
+    path, O(n²) by construction; the product path at corpus scale is
+    :func:`near_dups_lsh`, which this op serves as the exact recall
+    oracle for). Double-precision accumulation in array order so the
+    oracle's list_cosine_similarity agrees."""
     from dvx.ops.similarity import cosine
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

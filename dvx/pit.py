@@ -96,7 +96,9 @@ def build_pit(vault: Vault, snapshot_date: str, if_exists: str = "skip") -> int:
     'replace' = dynamic partition overwrite.
     """
     existing = vault.pit_turn.snapshot()["files"]
-    if snapshot_date in existing and if_exists == "skip":
+    if if_exists == "skip" and any(
+        k.split("|", 1)[0] == snapshot_date for k in existing
+    ):
         return 0
     frame = _pit_frame(vault, snapshot_date, vault.sat_all())
     vault.pit_turn.overwrite_partitions(frame)
@@ -110,13 +112,20 @@ def build_pit_incremental(
     them into the existing date partition (north_rule: 'PIT tables rebuilt
     incrementally per micro-batch').
 
-    Reads only the touched buckets of the satellite (manifest pruning) and
-    the existing PIT partition; cost is O(touched), not O(table).
+    Reads only the touched buckets of the satellite AND of the PIT
+    (manifest pruning on the composite ``"<date>|<bucket>"`` key);
+    writes only the touched (date, bucket) keys — both compute and
+    write IO are O(touched buckets), never O(date partition). pit_turn
+    and the satellite share the bucket function (same key column, same
+    vault-wide bucket count), so one touched-bucket list serves both.
     """
     sat_tbl = vault.sat_turn_text
+    pit_tbl = vault.pit_turn
     keys = touched_keys.select("turn_hash_key").distinct()
     bucketed = sat_tbl.with_bucket(keys)
-    touched_buckets = [r[0] for r in bucketed.select("_bucket").distinct().collect()]
+    touched_buckets = sorted(
+        r[0] for r in bucketed.select("_bucket").distinct().collect()
+    )
     if not touched_buckets:
         return 0
     # no forced broadcast of the key set: a backfill micro-batch can carry
@@ -125,10 +134,15 @@ def build_pit_incremental(
         keys, "turn_hash_key", "left_semi"
     )
     fresh = _pit_frame(vault, snapshot_date, sat)
-    old = vault.pit_turn.read(partitions=[snapshot_date]).join(
+    # untouched keys WITHIN the touched buckets carry over; untouched
+    # buckets are never read or rewritten
+    old = pit_tbl.read(partitions=[snapshot_date], buckets=touched_buckets).join(
         keys, "turn_hash_key", "left_anti"
     )
-    vault.pit_turn.overwrite_partitions(old.unionByName(fresh))
+    pit_tbl.replace_buckets(
+        [f"{snapshot_date}|{b}" for b in touched_buckets],
+        old.unionByName(fresh),
+    )
     return 1
 
 

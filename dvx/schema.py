@@ -13,8 +13,10 @@ BusinessVaultSchema.scala:112-194):
 - ``load_metadata``         lineage/audit (RawVaultSchema.scala:443-467)
 
 Vault tables are hash-bucketed on their merge key so CDC MERGEs prune to
-touched buckets; pit_turn is value-partitioned by snapshot_date (the
-reference partitions by load_date / snapshot_date). Timestamps are event-
+touched buckets; pit_turn is value-partitioned by snapshot_date AND
+bucketed by turn_hash_key (the reference partitions by load_date /
+snapshot_date; the bucket half keeps incremental PIT rewrites
+O(touched buckets)). Timestamps are event-
 derived, never wall clock, so replays byte-match (SURVEY.md §7.3).
 """
 
@@ -210,7 +212,16 @@ def registry_tables(registry) -> dict[str, dict]:
     for s in registry.satellites:
         out[s.name] = dict(schema=sat_schema(s), bucket_cols=[s.parent_key])
         out[s.hist_name] = dict(schema=sat_schema(s), bucket_cols=[s.parent_key])
-    out["pit_turn"] = dict(schema=PIT_TURN, partition_col="snapshot_date")
+    # composite layout (value partition + hash buckets): serving queries
+    # prune to one snapshot_date; the per-micro-batch incremental PIT
+    # rewrite prunes to the touched turn_hash_key buckets WITHIN the date
+    # (write IO O(touched buckets), not O(date partition)) — the analog
+    # of Iceberg PARTITIONED BY (snapshot_date, bucket(N, turn_hash_key))
+    out["pit_turn"] = dict(
+        schema=PIT_TURN,
+        partition_col="snapshot_date",
+        bucket_cols=["turn_hash_key"],
+    )
     out["bridge_conversation_turn"] = dict(
         schema=BRIDGE_CONVERSATION_TURN, bucket_cols=["conv_hash_key"]
     )

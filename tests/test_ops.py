@@ -121,6 +121,46 @@ def test_embedding_near_dups_finds_planted(spark, emb):
         assert (r.vec_id, r.vec_id + 100000) in found
 
 
+def test_near_dups_lsh_matches_brute_force_at_contract_settings(spark, emb):
+    """The PRODUCT near-dup path (LSH candidates -> exact re-rank) must
+    return exactly the brute-force pair set at the contract settings
+    (threshold 0.4, 2 planes x 12 tables — deterministic md5 planes, so
+    this is a fixed property of the fixture, not a flaky sample)."""
+    from dvx.ops.dedup import near_dups_lsh
+
+    bf = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_near_dups(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos)
+        for r in near_dups_lsh(
+            emb, threshold=0.4, num_planes=2, num_tables=12, dim=64
+        ).collect()
+    }
+    assert bf, "fixture must contain near-dup pairs at 0.4"
+    assert lsh == bf
+    # fewer tables => a strict subset (candidates only shrink)
+    fewer = {
+        (r.id_a, r.id_b, r.cos)
+        for r in near_dups_lsh(
+            emb, threshold=0.4, num_planes=2, num_tables=2, dim=64
+        ).collect()
+    }
+    assert fewer <= bf
+
+
+def test_near_dups_lsh_hot_bucket_guard(spark, emb):
+    """max_bucket=1 drops every bucket with >= 2 members, so NO pairs
+    can be emitted — the O(n²) degenerate-bucket path is provably off."""
+    from dvx.ops.dedup import near_dups_lsh
+
+    out = near_dups_lsh(
+        emb, threshold=0.0, num_planes=2, num_tables=2, dim=64, max_bucket=1
+    )
+    assert out.count() == 0
+
+
 def test_brute_force_topk_shapes_and_self_exclusion(spark, emb):
     queries = emb.limit(4)
     res = brute_force_topk(emb, queries, k=5)

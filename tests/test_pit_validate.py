@@ -83,6 +83,52 @@ def test_pit_range_covers_spine(spark, loaded):
     assert {"2024-01-02", "2024-01-03", "2024-01-04"} <= dates
 
 
+def test_incremental_pit_write_io_is_o_of_touched_buckets(spark, tmp_path):
+    """Scale pin (mirror of test_satellite_current_write_io_is_o_of_batch):
+    pit_turn is (snapshot_date, bucket(turn_hash_key)) composite, so a
+    micro-batch touching ONE key must leave every other (date, bucket)
+    key's files byte-identical — the incremental PIT no longer rewrites
+    the whole date partition."""
+    import datetime as dt
+
+    from dvx.schema import CHANGELOG_SCHEMA
+
+    v = Vault(spark, str(tmp_path / "wh"), num_buckets=8)
+    v.create_all_tables()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, "I", f"c{i}", 0, "user", f"text {i}", None, t0) for i in range(64)
+    ]
+    date = "2024-01-01"
+    apply_batch(v, spark.createDataFrame(rows, CHANGELOG_SCHEMA), epoch_id=0,
+                pit_dates=[date])
+    before = dict(v.pit_turn.snapshot()["files"])
+    assert before and all("|" in k for k in before)  # composite keys
+
+    edit = [(100, "U", "c7", 0, "user", "text 7 edited", None,
+             t0 + dt.timedelta(hours=1))]
+    apply_batch(v, spark.createDataFrame(edit, CHANGELOG_SCHEMA), epoch_id=1,
+                pit_dates=[date])
+    after = dict(v.pit_turn.snapshot()["files"])
+
+    changed = {k for k in before if before[k] != after.get(k)}
+    # exactly the one bucket holding c7's turn key was rewritten
+    assert len(changed) == 1, changed
+    (ck,) = changed
+    assert ck.split("|", 1)[0] == date
+    # every untouched key kept the exact same file list (no write IO)
+    for k in before:
+        if k != ck:
+            assert after[k] == before[k]
+    # and the rewritten bucket serves the edited text
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in v.pit_turn.read(partitions=[date]).collect()
+    }
+    assert got[("c7", 0)] == "text 7 edited"
+    assert got[("c0", 0)] == "text 0"
+
+
 def test_bridge_joins_all_layers(spark, loaded):
     vault, changelog = loaded
     bridge = build_bridge(vault)
