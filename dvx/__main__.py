@@ -142,9 +142,15 @@ def main(argv: list[str] | None = None) -> int:
         n = refresh_bridge(vault, touched)
         print(json.dumps({"buckets_refreshed": n}))
     elif args.cmd == "views":
-        from dvx.views import create_all_views
+        from dvx.views import create_all_views, publish_views
 
-        print(json.dumps({"views": create_all_views(vault)}))
+        out: dict = {"session_views": create_all_views(vault)}
+        try:
+            out["published"] = publish_views(vault)
+        except RuntimeError as e:  # memory catalog: session views only
+            out["published"] = None
+            out["publish_skipped"] = str(e)
+        print(json.dumps(out))
     elif args.cmd == "validate":
         from dvx.validate import validate_vault
 

@@ -389,10 +389,74 @@ def _apply_satellite(
             intermediates, F.col("_next_ts").cast("timestamp")
         ).unionByName(displaced)
 
+        do_hist = epoch_id is None or hist_tbl.last_epoch(stream_id) < epoch_id
+        do_cur = epoch_id is None or cur_tbl.last_epoch(stream_id) < epoch_id
+
+        if not stale_buckets and do_hist and do_cur:
+            # ---- fast-path write overlap ----
+            # history and current are INDEPENDENT tables, but their
+            # commits must stay ordered: displaced rows must reach
+            # history before current advances, or a crash between the
+            # two commits loses the old version entirely (it is no
+            # longer in current and never reached history — the re-run
+            # would classify the batch rows stale and re-chain from
+            # state that no longer contains it). So: run both multi-
+            # second WRITE jobs concurrently on the executors
+            # (lake.stage_write), then publish the two metadata commits
+            # strictly history-first. Crash windows collapse to the
+            # sequential path's: before hist commit = nothing published;
+            # between commits = the already-safe state.
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            from dvx.lake import CommitConflict
+
+            delta_rows = as_sat(finals, F.lit(None).cast("timestamp"))
+            sc = vault.spark.sparkContext
+
+            def _staged(pool: str, tbl, frame):
+                # scheduler-pool localProperty is per python thread
+                sc.setLocalProperty("spark.scheduler.pool", pool)
+                try:
+                    return tbl.stage_write(frame)
+                finally:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
+
+            with _TPE(max_workers=2) as ex2:
+                fh = ex2.submit(_staged, f"dvx_w_{spec.hist_name}", hist_tbl, hist_rows)
+                fd = ex2.submit(_staged, f"dvx_w_{spec.name}", cur_tbl, delta_rows)
+                sh, sd = fh.result(), fd.result()
+            try:
+                hist_tbl.commit_staged(sh, "append", summary=summary)
+            except CommitConflict:  # external writer moved the table
+                cur_tbl._drop_attempt(sd["commit_rel"])
+                sd = None
+                hist_tbl.append(hist_rows, summary=summary)
+            _mark("hist_append")
+            if sd is not None:
+                try:
+                    cur_tbl.commit_staged(sd, "upsert_delta", summary=summary)
+                except CommitConflict:
+                    cur_tbl.upsert_delta(delta_rows, summary=summary)
+            else:
+                cur_tbl.upsert_delta(delta_rows, summary=summary)
+            _mark("upsert_delta")
+            cur_tbl.compact_deltas(
+                int(os.environ.get("DVX_SAT_DELTA_COMPACT", "8"))
+            )
+            _mark("compact_deltas")
+            if _prof:
+                deltas = {
+                    b: round(tb - ta, 2)
+                    for (_, ta), (b, tb) in zip(_marks, _marks[1:])
+                }
+                print(f"DVX_PROFILE_SAT {spec.name} {deltas}", flush=True)
+            return
+
+        # ---- sequential path (stale re-chain, or partial epoch replay) ----
         # history append first: if we crash before the current commit, the
         # re-run recomputes the same displaced/intermediate rows (current
         # is unchanged) and the epoch guard skips the duplicate append
-        if epoch_id is None or hist_tbl.last_epoch(stream_id) < epoch_id:
+        if do_hist:
             hist_tbl.append(hist_rows, summary=summary)
         _mark("hist_append")
 
@@ -477,7 +541,7 @@ def _apply_satellite(
         # compact_deltas folds them back every DVX_SAT_DELTA_COMPACT
         # commits per bucket, so the amortized rewrite is
         # O(bucket / threshold) per batch.
-        if epoch_id is None or cur_tbl.last_epoch(stream_id) < epoch_id:
+        if do_cur:
             delta_rows = as_sat(finals, F.lit(None).cast("timestamp"))
             if re_current is not None:
                 delta_rows = delta_rows.unionByName(re_current)

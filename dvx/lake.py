@@ -267,6 +267,13 @@ class LakeTable:
             os.unlink(tmp)
         return next_v
 
+    def _drop_attempt(self, commit_rel: str) -> None:
+        """Remove a losing write attempt's data directory (its files are
+        referenced by no manifest; the retry rewrites fresh ones)."""
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, commit_rel), ignore_errors=True)
+
     # ---------------------------------------------------------------- reads
 
     def read(
@@ -352,7 +359,7 @@ class LakeTable:
         # Project below the Aggregate, not inside the agg expression
         df = raw.withColumn(
             "_cv",
-            F.regexp_extract(F.input_file_name(), r"data/c(\d+)/", 1).cast("long"),
+            F.regexp_extract(F.input_file_name(), r"data/c(\d+)[-/]", 1).cast("long"),
         )
         ordered = F.struct(F.col("_cv"), *[F.col(c) for c in cols])
         key_cols = m["bucket_cols"]
@@ -382,7 +389,18 @@ class LakeTable:
         self, df: DataFrame, manifest: dict, next_v: int, salts: int = 1,
         wide: bool = False,
     ) -> dict[str, list[str]]:
-        """Write df physically split by partition key; return {key: [relpaths]}.
+        """Write df physically split by partition key; return
+        ``({key: [relpaths]}, commit_rel)``.
+
+        Files land in a commit dir UNIQUE PER ATTEMPT
+        (``data/c<version>-<uuid>/``): two writers racing for the same
+        version must not share a directory, or the loser's
+        ``mode("overwrite")`` write would delete the winner's
+        already-committed files before the loser's manifest commit even
+        fails (found by test_concurrent_writers_occ). The losing
+        attempt's directory is removed by the caller's CommitConflict
+        retry; a crash in the window leaves an orphan dir that no
+        manifest references (harmless, reclaimed by a vacuum).
 
         Write distribution (what Iceberg's bucket-partitioned write
         distribution does):
@@ -401,7 +419,7 @@ class LakeTable:
           with MORE cores). Callers pass salts=1 for small appends (one
           file) and salts=defaultParallelism for big overwrites.
         """
-        commit_rel = os.path.join("data", f"c{next_v:010d}")
+        commit_rel = os.path.join("data", f"c{next_v:010d}-{uuid.uuid4().hex[:8]}")
         commit_dir = os.path.join(self.root, commit_rel)
         if manifest["num_buckets"] is not None:
             if BUCKET_COL not in df.columns:
@@ -453,7 +471,14 @@ class LakeTable:
                 )
                 df = df.repartition(2 * n_write, F.col(_PHYS), salt.alias("_w_salt"))
             else:
-                df = df.repartition(n_write, F.col(_PHYS))
+                # non-salted (small appends — lineage rows, status rows):
+                # hash-partitioning on _PHYS collapses each partition
+                # value into ONE task regardless of the partition count,
+                # so defaultParallelism partitions here are just
+                # (defaultParallelism - #values) EMPTY tasks of pure
+                # scheduling overhead per batch. Two suffice; large
+                # rewrites come through the salted branch above.
+                df = df.repartition(2, F.col(_PHYS))
         df.write.mode("overwrite").partitionBy(_PHYS).parquet(commit_dir)
 
         out: dict[str, list[str]] = {}
@@ -469,7 +494,7 @@ class LakeTable:
             ]
             if rels:
                 out[key] = rels
-        return out
+        return out, commit_rel
 
     def _schema_aligned(self, df: DataFrame, manifest: dict) -> DataFrame:
         """Project df onto the table schema (order + types), erroring on
@@ -526,13 +551,16 @@ class LakeTable:
                         "last-wins merge over it; run compact_deltas("
                         "max_delta_files=1) first or use upsert_delta()"
                     )
-            new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
+            new_files, commit_rel = self._write_files(
+                self._schema_aligned(df, m), m, v + 1
+            )
             files = {k: list(ps) for k, ps in m["files"].items()}
             for k, ps in new_files.items():
                 files.setdefault(k, []).extend(ps)
             try:
                 return self._commit_next(m, v, "append", files, new_files, summary)
             except CommitConflict:
+                self._drop_attempt(commit_rel)
                 continue
 
     def overwrite_partitions(self, df: DataFrame, summary: dict | None = None) -> int:
@@ -543,7 +571,7 @@ class LakeTable:
             v = self.version()
             m = self.snapshot(v)
             salts = max(2, self.spark.sparkContext.defaultParallelism)
-            new_files = self._write_files(
+            new_files, commit_rel = self._write_files(
                 self._schema_aligned(df, m), m, v + 1, salts=salts
             )
             deltas = None
@@ -573,6 +601,7 @@ class LakeTable:
                     deltas=deltas,
                 )
             except CommitConflict:
+                self._drop_attempt(commit_rel)
                 continue
 
     def upsert_delta(self, df: DataFrame, summary: dict | None = None) -> int:
@@ -591,7 +620,9 @@ class LakeTable:
             m = self.snapshot(v)
             if m["num_buckets"] is None:
                 raise ValueError("upsert_delta requires a bucketed table")
-            new_files = self._write_files(self._schema_aligned(df, m), m, v + 1)
+            new_files, commit_rel = self._write_files(
+                self._schema_aligned(df, m), m, v + 1
+            )
             deltas = {k: list(ps) for k, ps in m.get("deltas", {}).items()}
             for k, ps in new_files.items():
                 deltas.setdefault(k, []).extend(ps)
@@ -601,7 +632,62 @@ class LakeTable:
                     deltas=deltas,
                 )
             except CommitConflict:
+                self._drop_attempt(commit_rel)
                 continue
+
+    def stage_write(self, df: DataFrame) -> dict:
+        """Run ONLY the heavy data-file write job of an append /
+        upsert_delta now; publish later with :meth:`commit_staged`.
+
+        Lets a caller overlap two independent tables' write jobs on the
+        executors while still COMMITTING in a required order (the
+        satellite apply must publish history before current — the
+        crash-replay invariant — but has no reason to serialize the two
+        multi-second writes). The staged files are invisible until
+        commit; a crash in between leaves an orphan attempt dir only.
+        """
+        v = self.version()
+        m = self.snapshot(v)
+        new_files, commit_rel = self._write_files(
+            self._schema_aligned(df, m), m, v + 1
+        )
+        return {
+            "base_version": v,
+            "new_files": new_files,
+            "commit_rel": commit_rel,
+        }
+
+    def commit_staged(self, staged: dict, op: str, summary: dict | None = None) -> int:
+        """Publish a :meth:`stage_write` result as an ``append`` or
+        ``upsert_delta`` commit. Raises :class:`CommitConflict` (after
+        removing the attempt dir) if the table moved past the staged
+        base version — the caller falls back to the regular write path.
+        No silent retry here: the staged file paths embed the guessed
+        commit version, which the MOR last-wins merge orders by, so
+        re-targeting them at a different version would corrupt delta
+        ordering."""
+        v, new_files = staged["base_version"], staged["new_files"]
+        try:
+            m = self.snapshot(v)
+            if self.version() != v:
+                raise CommitConflict(f"table moved past staged version {v}")
+            if op == "append":
+                files = {k: list(ps) for k, ps in m["files"].items()}
+                for k, ps in new_files.items():
+                    files.setdefault(k, []).extend(ps)
+                return self._commit_next(m, v, "append", files, new_files, summary)
+            if op == "upsert_delta":
+                deltas = {k: list(ps) for k, ps in m.get("deltas", {}).items()}
+                for k, ps in new_files.items():
+                    deltas.setdefault(k, []).extend(ps)
+                return self._commit_next(
+                    m, v, "upsert_delta", dict(m["files"]), new_files, summary,
+                    deltas=deltas,
+                )
+            raise ValueError(f"unsupported staged op {op!r}")
+        except CommitConflict:
+            self._drop_attempt(staged["commit_rel"])
+            raise
 
     def compact_deltas(self, max_delta_files: int = 8) -> int:
         """Fold delta files back into the base for every bucket whose
@@ -647,7 +733,7 @@ class LakeTable:
                 )
                 merged = merge_fn(current, src)
                 merged = self._schema_aligned(merged, m)
-                new_files = self._write_files(merged, m, v + 1, wide=True)
+                new_files, commit_rel = self._write_files(merged, m, v + 1, wide=True)
                 tset = {str(t) for t in touched}
                 files = {
                     k: ps for k, ps in m["files"].items()
@@ -664,6 +750,7 @@ class LakeTable:
                         m, v, "merge", files, new_files, summary, deltas=deltas
                     )
                 except CommitConflict:
+                    self._drop_attempt(commit_rel)
                     continue
             finally:
                 src.unpersist()
@@ -689,7 +776,9 @@ class LakeTable:
             v = self.version()
             m = self.snapshot(v)
             merged = self._schema_aligned(self.with_bucket(contents), m)
-            new_files = self._write_files(merged, m, v + 1, salts=salts, wide=True)
+            new_files, commit_rel = self._write_files(
+                merged, m, v + 1, salts=salts, wide=True
+            )
             tset = {str(t) for t in touched}
             files = {k: ps for k, ps in m["files"].items() if k not in tset}
             files.update(new_files)
@@ -702,6 +791,7 @@ class LakeTable:
                     m, v, "merge", files, new_files, summary, deltas=deltas
                 )
             except CommitConflict:
+                self._drop_attempt(commit_rel)
                 continue
 
     def _commit_next(self, m, v, op, files, new_files, summary, deltas=None):
@@ -793,6 +883,38 @@ class LakeTable:
         return sorted(
             os.path.join(self.root, p) for p in _all_paths(cur) - _all_paths(old)
         )
+
+    def publish_mirror(self, dest: str) -> int:
+        """Materialize the CURRENT snapshot as a stable flat directory of
+        hardlinks — the serving surface for catalog objects (persistent
+        views / external tables) that address a plain parquet PATH and
+        cannot consume the manifest's explicit file list. Re-publishing
+        atomically retargets the directory to the new snapshot (links are
+        O(files) metadata ops, no data copy; on an object store this
+        becomes a manifest-driven copy or an Iceberg catalog pointer).
+
+        Refuses while MOR deltas are pending: a plain directory read
+        cannot express the last-wins merge — fold first
+        (``compact_deltas(max_delta_files=1)``)."""
+        m = self.snapshot()
+        if any(m.get("deltas", {}).values()):
+            raise ValueError(
+                f"publish_mirror on {self.root}: pending MOR delta files; "
+                "run compact_deltas(max_delta_files=1) first"
+            )
+        os.makedirs(dest, exist_ok=True)
+        for fn in os.listdir(dest):
+            if fn.endswith(".parquet"):
+                os.unlink(os.path.join(dest, fn))
+        n = 0
+        for ps in m["files"].values():
+            for p in ps:
+                os.link(
+                    os.path.join(self.root, p),
+                    os.path.join(dest, p.replace(os.sep, "__")),
+                )
+                n += 1
+        return n
 
     def file_stats(self, version: int | None = None) -> list[dict]:
         """Per-partition-key file statistics at a snapshot — the
@@ -901,7 +1023,7 @@ class LakeTable:
                 )
             else:
                 df = self.read(v, partitions=fat).repartition(max(1, len(fat)))
-            new_files = self._write_files(
+            new_files, commit_rel = self._write_files(
                 self._schema_aligned(df, m), m, v + 1, wide=True
             )
             files = {k: ps for k, ps in m["files"].items() if k not in fat}
@@ -912,4 +1034,5 @@ class LakeTable:
                     m, v, "compact", files, new_files, {"compacted": fat}, deltas=deltas
                 )
             except CommitConflict:
+                self._drop_attempt(commit_rel)
                 continue

@@ -74,6 +74,11 @@ def get_spark(
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+        # CBO acts on CATALOG tables with stats: dvx.views.publish_views
+        # runs ANALYZE TABLE on the published serving tables, so BI SQL
+        # over the persistent views gets stats-driven join reordering.
+        # Path-based lake reads carry no catalog stats (AQE handles those
+        # at runtime) — the flags are inert there, by design.
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -109,6 +114,28 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
+    # Persistent catalog (hive + embedded derby metastore, both shipped in
+    # pyspark's jars): dvx.views.publish_views issues CREATE VIEW /
+    # CREATE TABLE DDL that must survive session restarts — the
+    # SemanticModel.scala:107-555 persistent-view contract. The metastore
+    # initializes lazily on the first catalog operation, so pure
+    # DataFrame pipelines (the CDC hot path) never pay for it.
+    # DVX_CATALOG=memory opts out (e.g. a cluster with its own catalog).
+    if os.environ.get("DVX_CATALOG", "hive") == "hive":
+        meta_dir = os.environ.get("DVX_METASTORE_DIR", "/tmp/dvx_metastore")
+        os.makedirs(meta_dir, exist_ok=True)
+        b = (
+            b.config("spark.sql.catalogImplementation", "hive")
+            .config("spark.sql.warehouse.dir", os.path.join(meta_dir, "sql_warehouse"))
+            .config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={os.path.join(meta_dir, 'metastore_db')};create=true",
+            )
+            .config(
+                "spark.driver.extraJavaOptions",
+                f"-Dderby.stream.error.file={os.path.join(meta_dir, 'derby.log')}",
+            )
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

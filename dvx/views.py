@@ -3,13 +3,29 @@
 vault that BI queries hit; Catalyst expands them and pushes predicates
 into the lake scans.
 
-Views are registered as Spark temp views from lake-table reads. At 10^10
-scale the expensive ones (conversation_360) are served from the PIT/
-bridge pre-joins instead of re-deriving (the reference's 5-20x PIT
+Two registration surfaces:
+
+- :func:`create_all_views` — session TEMP views built from lake-table
+  reads (manifest-pruned, MOR-merge-aware; always correct, even
+  mid-stream). Die with the session.
+- :func:`publish_views` — PERSISTENT catalog views (``CREATE OR REPLACE
+  VIEW`` into the hive-backed metastore, the reference's ``CREATE OR
+  REPLACE VIEW gold.v_*``): survives session restarts, so a BI tool
+  reconnecting sees the semantic layer without running dvx code. The
+  views select from external parquet tables over each lake table's
+  published serving mirror (lake.publish_mirror); re-publishing after a
+  load retargets the mirror + refreshes the tables. Requires pending
+  MOR deltas folded (publish folds them).
+
+At 10^10 scale the expensive ones (conversation_360) are served from the
+PIT/bridge pre-joins instead of re-deriving (the reference's 5-20x PIT
 rationale, BusinessVaultSchema.scala:365-396).
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
 
 from pyspark.sql import functions as F
 
@@ -134,3 +150,132 @@ def create_all_views(vault: Vault) -> list[str]:
         "v_top_tools",
         "v_hub_conversation",
     ]
+
+
+#: lake tables the persistent view layer is defined over
+_MIRRORED = (
+    "sat_turn_text",
+    "sat_turn_text_hist",
+    "hub_turn",
+    "hub_conversation",
+    "bridge_conversation_turn",
+)
+
+
+def catalog_db(vault: Vault) -> str:
+    """Per-vault catalog database name (one metastore can host many
+    vaults without collision)."""
+    h = hashlib.md5(os.path.abspath(vault.warehouse).encode()).hexdigest()[:10]
+    return f"dvx_{h}"
+
+
+def publish_views(vault: Vault) -> dict:
+    """Publish the semantic layer as PERSISTENT catalog objects.
+
+    1. folds any pending satellite MOR deltas (serving refresh implies
+       compaction, same rationale as the end-of-drain fold),
+    2. hardlink-mirrors each vault table's current snapshot into
+       ``<warehouse>/_serving/<table>`` (lake.publish_mirror),
+    3. issues ``CREATE TABLE ... USING PARQUET LOCATION`` externals with
+       the table's EXPLICIT schema (old files null-fill evolved columns)
+       and ``CREATE OR REPLACE VIEW`` DDL into the hive metastore —
+       objects that survive a brand-new SparkSession
+       (SemanticModel.scala:107-555 semantics).
+
+    Idempotent; re-run after loads to retarget the mirror. Returns
+    {"database": ..., "views": [...], "tables": [...]}.
+    """
+    spark = vault.spark
+    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") != "hive":
+        raise RuntimeError(
+            "publish_views needs the hive-backed catalog "
+            "(dvx.session.get_spark default; DVX_CATALOG=memory disables it)"
+        )
+    db = catalog_db(vault)
+    for s in vault.registry.satellites:
+        vault.table(s.name).compact_deltas(max_delta_files=1)
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    tables = []
+    for name in _MIRRORED:
+        tbl = vault.table(name)
+        dest = os.path.join(vault.warehouse, "_serving", name)
+        tbl.publish_mirror(dest)
+        schema = tbl.schema()
+        ddl_cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        fq = f"{db}.{name}"
+        existing = [t.name for t in spark.catalog.listTables(db)]
+        if name in existing:
+            cat_schema = spark.table(fq).schema
+            if [(f.name, f.dataType) for f in cat_schema.fields] != [
+                (f.name, f.dataType) for f in schema.fields
+            ]:
+                spark.sql(f"DROP TABLE {fq}")  # additive evolution: recreate
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {fq} ({ddl_cols}) "
+            f"USING PARQUET LOCATION '{dest}'"
+        )
+        spark.sql(f"REFRESH TABLE {fq}")
+        # feed row/size stats to the cost-based optimizer: BI SQL over
+        # the published views joins these catalog tables, and with stats
+        # present the session's cbo.enabled/joinReorder flags actually
+        # reorder (path-based lake reads have no catalog stats, so CBO
+        # is inert there by design — AQE covers those; SURVEY §4 row 2)
+        spark.sql(f"ANALYZE TABLE {fq} COMPUTE STATISTICS")
+        tables.append(name)
+
+    sat_cols = ", ".join(
+        f"s.`{f.name}`" for f in vault.table("sat_turn_text").schema().fields
+    )
+    views = {
+        "v_current_turns": f"""
+            SELECT {sat_cols}, h.conv_id, h.turn_idx
+            FROM (SELECT * FROM {db}.sat_turn_text
+                  UNION ALL SELECT * FROM {db}.sat_turn_text_hist) s
+            JOIN {db}.hub_turn h ON s.turn_hash_key = h.turn_hash_key
+            WHERE s.valid_to IS NULL AND s.is_deleted IS NULL""",
+        "v_conversation_summary": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   count(DISTINCT role) AS n_roles,
+                   sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns,
+                   max(turn_idx) AS max_turn_idx
+            FROM {db}.v_current_turns GROUP BY conv_id""",
+        "v_tool_usage": f"""
+            SELECT tool, count(*) AS n_turns,
+                   count(DISTINCT conv_id) AS n_convs
+            FROM {db}.v_current_turns WHERE tool IS NOT NULL GROUP BY tool""",
+        "v_turn_churn": f"""
+            SELECT s.turn_hash_key, s.n_versions, s.first_seen, s.last_changed,
+                   h.conv_id, h.turn_idx
+            FROM (SELECT turn_hash_key, count(*) AS n_versions,
+                         date_format(min(valid_from), 'yyyy-MM-dd') AS first_seen,
+                         date_format(max(valid_from), 'yyyy-MM-dd') AS last_changed
+                  FROM (SELECT * FROM {db}.sat_turn_text
+                        UNION ALL SELECT * FROM {db}.sat_turn_text_hist)
+                  GROUP BY turn_hash_key) s
+            JOIN {db}.hub_turn h ON s.turn_hash_key = h.turn_hash_key""",
+        "v_conversation_360": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   count(DISTINCT role) AS n_roles,
+                   sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns,
+                   cast(sum(length(text)) AS BIGINT) AS total_chars,
+                   max_by(role, turn_idx) AS last_role,
+                   max(turn_idx) AS max_turn_idx
+            FROM {db}.bridge_conversation_turn GROUP BY conv_id""",
+        "v_monthly_activity": f"""
+            SELECT year(valid_from) AS year, month(valid_from) AS month,
+                   count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs,
+                   sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns,
+                   cast(sum(length(text)) AS BIGINT) AS total_chars
+            FROM {db}.v_current_turns GROUP BY year(valid_from), month(valid_from)""",
+        "v_top_tools": f"""
+            SELECT tool, count(*) AS n_turns
+            FROM {db}.v_current_turns WHERE tool IS NOT NULL
+            GROUP BY tool ORDER BY n_turns DESC, tool LIMIT 5""",
+        "v_hub_conversation": f"SELECT * FROM {db}.hub_conversation",
+    }
+    for vname, sql in views.items():
+        spark.sql(f"CREATE OR REPLACE VIEW {db}.{vname} AS {sql}")
+    return {"database": db, "tables": tables, "views": sorted(views)}

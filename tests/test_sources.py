@@ -68,3 +68,31 @@ def test_avro_gated(spark, staged):
 def test_unknown_format_rejected(spark, staged):
     with pytest.raises(ValueError, match="unsupported staging format"):
         read_staging(spark, staged, fmt="xml")
+
+
+def _avro_available(spark) -> bool:
+    try:
+        spark.read.format("avro").load("/nonexistent___dvx_avro_probe")
+    except Exception as e:
+        # jar present -> the probe fails with PATH_NOT_FOUND instead
+        return "Failed to find data source" not in str(e)
+    return True
+
+
+def test_avro_roundtrip_when_jar_present(spark, tmp_path):
+    """The REAL avro path (reference staging format, AvroReader.scala:
+    159-187): write avro, read_staging it back with lineage enrichment.
+    Skipped in environments without the spark-avro jar (this sandbox);
+    run off-sandbox via the README recipe:
+    `pyspark --packages org.apache.spark:spark-avro_2.13:<spark version>`.
+    """
+    if not _avro_available(spark):
+        pytest.skip("spark-avro jar not on the classpath (README recipe)")
+    d = str(tmp_path / "avro_stage")
+    spark.createDataFrame(
+        [(1, "I", "c1", 0, "hello")],
+        "seq long, op string, conv_id string, turn_idx int, text string",
+    ).write.format("avro").save(d)
+    df = read_staging(spark, d, fmt="avro")
+    row = df.first()
+    assert row["conv_id"] == "c1" and row["_source_file"].endswith(".avro")
