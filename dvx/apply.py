@@ -126,6 +126,7 @@ def _insert_new_keys(
     epoch_id: int | None,
     stream_id: str,
     summary: dict | None,
+    touched: list[int] | None = None,
 ) -> None:
     """Insert-only hub/link apply as an anti-join + APPEND.
 
@@ -141,7 +142,8 @@ def _insert_new_keys(
         return
     others = [c for c in select_cols if c != key]
     src_b = tbl.with_bucket(src)
-    touched = sorted(r[0] for r in src_b.select(BUCKET_COL).distinct().collect())
+    if touched is None:
+        touched = sorted(r[0] for r in src_b.select(BUCKET_COL).distinct().collect())
     if not touched:
         return
     existing = tbl.read(buckets=touched).select(key)
@@ -638,6 +640,12 @@ def apply_batch(
             for s in registry.satellites:
                 if s.parent_key == first_sat.parent_key:
                     sat_touched[s.name] = touched_list
+            # hubs/links bucketed on the SAME hash key (hub_turn) share
+            # the bucket function too — skip their per-batch
+            # distinct+collect as well
+            for h in registry.hubs:
+                if h.hash_key == first_sat.parent_key:
+                    sat_touched[h.name] = touched_list
         else:
             n = prepared.count()
         _pmark("counts")
@@ -646,10 +654,15 @@ def apply_batch(
         tasks = []
         for h in registry.hubs:
             cols = [h.hash_key, *h.business_keys, *audit]
-            tasks.append((vault.table(h.name), prepared.select(*cols), h.hash_key, cols))
+            tasks.append(
+                (vault.table(h.name), prepared.select(*cols), h.hash_key, cols,
+                 sat_touched.get(h.name))
+            )
         for l in registry.links:
             cols = [l.hash_key, *l.parents, *audit]
-            tasks.append((vault.table(l.name), prepared.select(*cols), l.hash_key, cols))
+            tasks.append(
+                (vault.table(l.name), prepared.select(*cols), l.hash_key, cols, None)
+            )
 
         if parallel:
             # each merge thread gets its OWN fair-scheduler pool: with
@@ -670,9 +683,10 @@ def apply_batch(
                 futs = [
                     ex.submit(
                         _pooled, f"dvx_merge_{i}",
-                        _insert_new_keys, tbl, src, key, cols, epoch_id, stream_id, summary
+                        _insert_new_keys, tbl, src, key, cols, epoch_id, stream_id,
+                        summary, touched
                     )
-                    for i, (tbl, src, key, cols) in enumerate(tasks)
+                    for i, (tbl, src, key, cols, touched) in enumerate(tasks)
                 ]
                 futs += [
                     ex.submit(
@@ -686,8 +700,10 @@ def apply_batch(
                     f.result()
             _pmark("merges")
         else:
-            for tbl, src, key, cols in tasks:
-                _insert_new_keys(tbl, src, key, cols, epoch_id, stream_id, summary)
+            for tbl, src, key, cols, touched in tasks:
+                _insert_new_keys(
+                    tbl, src, key, cols, epoch_id, stream_id, summary, touched
+                )
             for s in registry.satellites:
                 _apply_satellite(
                     vault, s, prepared, epoch_id, stream_id, summary,
