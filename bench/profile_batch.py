@@ -35,11 +35,13 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="dvx_prof_", dir=scratch)
     t: dict[str, float] = {}
     cpu: dict[str, float] = {}
+    sys_cpu: dict[str, float] = {}
 
-    def _jvm_cpu() -> float:
-        """Cumulative CPU seconds of every child process (JVM + Python
-        workers), from /proc — attributes wall vs compute per stage."""
-        total = 0.0
+    def _jvm_cpu() -> tuple[float, float]:
+        """Cumulative (user, system) CPU seconds of every process (JVM +
+        Python workers), from /proc — attributes wall vs compute per
+        stage, and user vs kernel (tmpfs page churn shows up as system)."""
+        u = s = 0.0
         tick = os.sysconf("SC_CLK_TCK")
         for pid in os.listdir("/proc"):
             if not pid.isdigit():
@@ -47,10 +49,11 @@ def main() -> None:
             try:
                 with open(f"/proc/{pid}/stat") as f:
                     parts = f.read().rsplit(")", 1)[1].split()
-                total += (int(parts[11]) + int(parts[12])) / tick
+                u += int(parts[11]) / tick
+                s += int(parts[12]) / tick
             except OSError:
                 continue
-        return total
+        return u, s
     try:
         cl = synthetic_changelog(spark, n_convs=n_convs)
         cdir = os.path.join(tmp, "cl")
@@ -68,7 +71,7 @@ def main() -> None:
         prepared = spark.read.schema(pre.schema).parquet(pspill)
         n_prep = prepared.count()
         t["prepare"] = round(time.time() - t0, 2)
-        cpu["prepare"] = round(_jvm_cpu() - c0, 1)
+        c1 = _jvm_cpu(); cpu["prepare"] = round(c1[0] - c0[0], 1); sys_cpu["prepare"] = round(c1[1] - c0[1], 1)
 
         specs = [
             ("hub_conv", vault.hub_conversation,
@@ -85,17 +88,20 @@ def main() -> None:
             t0 = time.time(); c0 = _jvm_cpu()
             _insert_new_keys(tbl, src, key, cols, None, "default", None)
             t[name] = round(time.time() - t0, 2)
-            cpu[name] = round(_jvm_cpu() - c0, 1)
+            c1 = _jvm_cpu()
+            cpu[name] = round(c1[0] - c0[0], 1)
+            sys_cpu[name] = round(c1[1] - c0[1], 1)
 
         t0 = time.time(); c0 = _jvm_cpu()
         _apply_satellite(
             vault, vault.registry.satellites[0], prepared, None, "default", None
         )
         t["satellite"] = round(time.time() - t0, 2)
-        cpu["satellite"] = round(_jvm_cpu() - c0, 1)
+        c1 = _jvm_cpu(); cpu["satellite"] = round(c1[0] - c0[0], 1); sys_cpu["satellite"] = round(c1[1] - c0[1], 1)
 
         print(json.dumps({"cpus": cpus, "events": n, "prepared": n_prep, "stages": t,
-                          "cpu_sec": cpu, "total": round(sum(t.values()), 2)}))
+                          "cpu_user": cpu, "cpu_sys": sys_cpu,
+                          "total": round(sum(t.values()), 2)}))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
