@@ -53,16 +53,22 @@ def canary() -> float:
 
 CANARY_GATE = float(os.environ.get("DVX_CANARY_GATE", "0.90"))
 CANARY_WAIT_S = int(os.environ.get("DVX_CANARY_WAIT_S", "1800"))
+# absolute floor (M iters/s) a pair must see before starting, on top of
+# the relative ratchet: the ratchet seeds from the launch window, so a
+# campaign started in a trough would otherwise accept the trough as
+# "healthy". Healthy observed on this host: ~11-12.2; trough: 4.5-8.
+CANARY_FLOOR = float(os.environ.get("DVX_CANARY_FLOOR", "0"))
 
 
 def wait_healthy(best: float) -> tuple[float, float]:
-    """Block until the host canary recovers to >= CANARY_GATE*best (or the
-    wait budget runs out). Returns (score, updated best)."""
+    """Block until the host canary recovers to >= CANARY_GATE*best and
+    >= CANARY_FLOOR (or the wait budget runs out). Returns
+    (score, updated best)."""
     deadline = time.time() + CANARY_WAIT_S
     while True:
         s = canary()
         best = max(best, s)
-        if s >= CANARY_GATE * best or time.time() > deadline:
+        if (s >= CANARY_GATE * best and s >= CANARY_FLOOR) or time.time() > deadline:
             return s, best
         time.sleep(45)
 
