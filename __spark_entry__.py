@@ -1403,10 +1403,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_percentile": q6_percentile,
         "q7_anti_join": q7_anti_join,
         "q8_date_spine_cross": q8_date_spine_cross,
-        "q9_union_distinct": q9_union_distinct,
-        "q10_dup_check": q10_dup_check,
-        "q11_watermark_minmax": q11_watermark_minmax,
-        "q12_distinct_count": q12_distinct_count,
+        # ---- round-5 slot rotation (explicit, reviewed choice) ----
+        # The external correctness driver runs the first 50 entries. The
+        # four BI view rollups below were parked at slots 51+ in round 4
+        # and so have no driver-file rows yet; q9-q12 have hard driver
+        # rows in ALL of CORRECTNESS_r01-r04 (hash_match=true each round).
+        # Swap: views in for this round, q9-q12 to slots 51+ (still
+        # oracle-checked every round via tools/check_oracles.py, which
+        # runs ALL keys). Rotation is by explicit review here, not dict
+        # insertion-order accident (ADVICE r4 item 1).
+        "view_conversation_summary": q_view_conversation_summary,
+        "view_tool_usage": q_view_tool_usage,
+        "view_monthly_activity": q_view_monthly_activity,
+        "view_top_tools": q_view_top_tools,
         "text_stats": q_text_stats,
         "lang_distribution": q_lang_distribution,
         "dedup_exact": q_dedup_exact,
@@ -1422,13 +1431,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         # ---- entries 51+ (the driver's correctness run caps at 50) ----
-        # these four BI rollups are near-duplicate shapes of
-        # view_conversation_360 / view_turn_churn above; they stay fully
+        # q9-q12 rotate out THIS round only (4 green driver rows each in
+        # r01-r04 — see the rotation note above); they stay fully
         # oracle-checked via tools/check_oracles.py, which runs ALL keys
-        "view_conversation_summary": q_view_conversation_summary,
-        "view_tool_usage": q_view_tool_usage,
-        "view_monthly_activity": q_view_monthly_activity,
-        "view_top_tools": q_view_top_tools,
+        "q9_union_distinct": q9_union_distinct,
+        "q10_dup_check": q10_dup_check,
+        "q11_watermark_minmax": q11_watermark_minmax,
+        "q12_distinct_count": q12_distinct_count,
     }
     return out
 

@@ -142,9 +142,14 @@ def main(argv: list[str] | None = None) -> int:
         n = refresh_bridge(vault, touched)
         print(json.dumps({"buckets_refreshed": n}))
     elif args.cmd == "views":
-        from dvx.views import create_all_views, publish_views
+        from dvx.views import create_all_views, publish_views, staleness
 
-        out: dict = {"session_views": create_all_views(vault)}
+        out: dict = {
+            "session_views": create_all_views(vault),
+            # how stale the PREVIOUS publish was at this moment (the
+            # serving-freshness contract, README "Serving-freshness")
+            "staleness_before": staleness(vault),
+        }
         try:
             out["published"] = publish_views(vault)
         except RuntimeError as e:  # memory catalog: session views only

@@ -119,6 +119,8 @@ def build_pit_incremental(
     and the satellite share the bucket function (same key column, same
     vault-wide bucket count), so one touched-bucket list serves both.
     """
+    from dvx.lake import _is_composite
+
     sat_tbl = vault.sat_turn_text
     pit_tbl = vault.pit_turn
     keys = touched_keys.select("turn_hash_key").distinct()
@@ -128,12 +130,26 @@ def build_pit_incremental(
     )
     if not touched_buckets:
         return 0
+    composite = _is_composite(pit_tbl.snapshot())
     # no forced broadcast of the key set: a backfill micro-batch can carry
     # millions of keys — plain joins let AQE pick broadcast when it fits
     sat = vault.sat_all(buckets=touched_buckets).join(
         keys, "turn_hash_key", "left_semi"
     )
     fresh = _pit_frame(vault, snapshot_date, sat)
+    if not composite:
+        # LEGACY layout guard: a warehouse created before the composite
+        # "<date>|<bucket>" layout has a plain date-partitioned pit_turn.
+        # Bucket-half pruning there compares date strings to bucket ids
+        # and matches ZERO manifest keys — `old` would come back empty and
+        # replace_buckets would silently drop every untouched key's PIT
+        # row for the date. Fall back to the pre-composite full-date
+        # dynamic partition overwrite (correct, O(date partition) write).
+        old = pit_tbl.read(partitions=[snapshot_date]).join(
+            keys, "turn_hash_key", "left_anti"
+        )
+        pit_tbl.overwrite_partitions(old.unionByName(fresh))
+        return 1
     # untouched keys WITHIN the touched buckets carry over; untouched
     # buckets are never read or rewritten
     old = pit_tbl.read(partitions=[snapshot_date], buckets=touched_buckets).join(

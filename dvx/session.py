@@ -133,7 +133,20 @@ def get_spark(
     # DataFrame pipelines (the CDC hot path) never pay for it.
     # DVX_CATALOG=memory opts out (e.g. a cluster with its own catalog).
     if os.environ.get("DVX_CATALOG", "hive") == "hive":
-        meta_dir = os.environ.get("DVX_METASTORE_DIR", "/tmp/dvx_metastore")
+        # Embedded Derby permits ONE process per metastore directory: a
+        # second concurrent session (parallel test run, interleaved bench
+        # trial) against the same dir fails its first catalog op with a
+        # db-lock error. Default to a per-USER cache dir (not a fixed
+        # world-writable /tmp path — multi-user collision + predictable-
+        # path unsafety); set DVX_METASTORE_DIR per warehouse/session to
+        # run concurrent processes, or point at a real shared metastore
+        # on a cluster.
+        meta_dir = os.environ.get(
+            "DVX_METASTORE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "dvx", "metastore"
+            ),
+        )
         os.makedirs(meta_dir, exist_ok=True)
         b = (
             b.config("spark.sql.catalogImplementation", "hive")

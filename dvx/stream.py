@@ -171,8 +171,24 @@ def run_stream(
         # it is safe at any point. Skipped after the injected crash: the
         # restart tests examine the mid-stream state on purpose.
         if not injected:
-            for s in vault.registry.satellites:
-                vault.table(s.name).compact_deltas(max_delta_files=1)
+            try:
+                for s in vault.registry.satellites:
+                    vault.table(s.name).compact_deltas(max_delta_files=1)
+            except Exception as ce:
+                import sys as _sys
+
+                if _sys.exc_info()[0] is not None:
+                    # a real streaming exception is already propagating;
+                    # raising from finally would REPLACE it and mask the
+                    # root cause (often the same underlying fault) —
+                    # log-and-suppress the compaction error instead
+                    print(
+                        "dvx: end-of-drain delta compaction failed while a "
+                        f"streaming error is propagating (suppressed): {ce!r}",
+                        file=_sys.stderr,
+                    )
+                else:
+                    raise
     return processed["n"]
 
 

@@ -195,6 +195,18 @@ def publish_views(vault: Vault) -> dict:
     for s in vault.registry.satellites:
         vault.table(s.name).compact_deltas(max_delta_files=1)
 
+    # v_conversation_360 selects from the materialized bridge; if the
+    # bridge was never refreshed, the persistent view would silently
+    # return zero rows (the session temp view falls back to DERIVING the
+    # bridge — a catalog view cannot). Publishing implies serving
+    # freshness, so materialize it now (full refresh) when empty.
+    bridge_tbl = vault.table("bridge_conversation_turn")
+    bridge_snap = bridge_tbl.snapshot()
+    if not (bridge_snap["files"] or bridge_snap.get("deltas")):
+        from dvx.pit import refresh_bridge
+
+        refresh_bridge(vault)
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     tables = []
     for name in _MIRRORED:
@@ -278,4 +290,42 @@ def publish_views(vault: Vault) -> dict:
     }
     for vname, sql in views.items():
         spark.sql(f"CREATE OR REPLACE VIEW {db}.{vname} AS {sql}")
-    return {"database": db, "tables": tables, "views": sorted(views)}
+    # freshness marker: the snapshot versions this publish serves. A later
+    # `python -m dvx views` (or staleness()) compares these against the
+    # live tables to report how stale the catalog layer is.
+    import json as _json
+
+    published = {name: vault.table(name).version() for name in _MIRRORED}
+    marker = os.path.join(vault.warehouse, "_serving", "_published.json")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        _json.dump(published, f)
+    return {
+        "database": db,
+        "tables": tables,
+        "views": sorted(views),
+        "published_versions": published,
+    }
+
+
+def staleness(vault: Vault) -> dict:
+    """Serving-freshness report: for each mirrored table, the snapshot
+    version the published catalog layer serves (last publish) vs the
+    live lake version. ``versions_behind == 0`` everywhere means the
+    catalog layer is current."""
+    import json as _json
+
+    marker = os.path.join(vault.warehouse, "_serving", "_published.json")
+    if not os.path.exists(marker):
+        return {"published": False}
+    with open(marker) as f:
+        published = _json.load(f)
+    out: dict = {"published": True, "tables": {}}
+    for name, pv in published.items():
+        cur = vault.table(name).version()
+        out["tables"][name] = {
+            "published_version": pv,
+            "current_version": cur,
+            "versions_behind": cur - pv,
+        }
+    return out

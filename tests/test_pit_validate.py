@@ -73,6 +73,48 @@ def test_incremental_pit_equals_full_rebuild(spark, loaded):
     assert incr == full
 
 
+def test_incremental_pit_legacy_layout_fallback(spark, tmp_path):
+    """A warehouse created BEFORE the composite '<date>|<bucket>' layout
+    has a plain date-partitioned pit_turn. build_pit_incremental must
+    detect that and fall back to the full-date overwrite — the composite
+    bucket filter would match zero manifest keys and silently drop every
+    untouched key's PIT row for the date (ADVICE r4)."""
+    import shutil
+
+    import dvx.lake as lake
+    from dvx.schema import PIT_TURN
+
+    v = Vault(spark, str(tmp_path / "wh"), num_buckets=4)
+    v.create_all_tables()
+    # recreate pit_turn in the legacy (pre-composite) layout
+    shutil.rmtree(v.path("pit_turn"))
+    lake._SNAP_CACHE.clear()  # same path, fresh version numbering
+    lake.LakeTable.create(
+        spark, v.path("pit_turn"), PIT_TURN, partition_col="snapshot_date"
+    )
+
+    changelog = synthetic_changelog(spark, n_convs=10)
+    apply_batch(v, changelog, epoch_id=0)
+    build_pit(v, DATE_END, if_exists="replace")
+    full = (
+        v.pit_turn.read(partitions=[DATE_END])
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert full  # the legacy full build produced rows
+    touched = v.hub_turn.read().filter(
+        F.pmod(F.xxhash64("conv_id"), F.lit(3)) == 0
+    )
+    assert 0 < touched.count() < v.hub_turn.read().count()
+    build_pit_incremental(v, DATE_END, touched)
+    incr = (
+        v.pit_turn.read(partitions=[DATE_END])
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert incr == full  # untouched keys survived the incremental fix-up
+
+
 def test_pit_range_covers_spine(spark, loaded):
     vault, _ = loaded
     build_pit_range(vault, "2024-01-02", "2024-01-04")
