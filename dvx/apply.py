@@ -118,6 +118,51 @@ def _spill_path(vault: Vault) -> str:
     return os.path.join(base, "dvx_spill", uuid.uuid4().hex)
 
 
+def _bloom_key_scan(tbl, src_b: DataFrame, key: str) -> dict[int, tuple[int, bytes]]:
+    """One shuffle-keyed pass over the batch keys per bucket: test them
+    against the bucket's existing bloom segments AND build this batch's
+    new segment. Returns ``{bucket: (possible_hits, segment_bytes)}``.
+
+    Executors read segment files straight from the table directory (no
+    bitmap broadcast through the driver); a bucket without complete
+    bloom coverage reports all keys as possible hits (= must read)."""
+    import pandas as pd
+
+    from dvx import bloom as _bloom
+
+    m = tbl.snapshot()
+    seg_paths = tbl.bloom_paths()
+    composite = False  # bloom tables are plain bucketed (create() guard)
+    with_files = {
+        int(k) for k in (set(m["files"]) | set(m.get("deltas", {}))) if k.isdigit()
+    } if not composite else set()
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf[BUCKET_COL].iloc[0])
+        uniq = pdf[key].drop_duplicates().tolist()
+        if b in seg_paths:
+            segs = []
+            for p in seg_paths[b]:
+                with open(p, "rb") as f:
+                    segs.append(f.read())
+            hits = int(_bloom.contains_any(segs, uniq).sum())
+        elif b in with_files:
+            hits = len(uniq)  # no coverage: must read the plain way
+        else:
+            hits = 0  # bucket has no data at all
+        return pd.DataFrame(
+            [{"bucket": b, "hits": hits, "segment": _bloom.build(uniq)}]
+        )
+
+    rows = (
+        src_b.select(key, BUCKET_COL)
+        .groupBy(BUCKET_COL)
+        .applyInPandas(fn, "bucket int, hits long, segment binary")
+        .collect()
+    )
+    return {r.bucket: (r.hits, bytes(r.segment)) for r in rows}
+
+
 def _insert_new_keys(
     tbl,
     src: DataFrame,
@@ -137,7 +182,14 @@ def _insert_new_keys(
     (J1, RawVaultETL.scala:204-205), and appends just the new rows:
     write IO is O(new keys). Appends are not naturally idempotent, so
     the table's epoch watermark guards re-delivered batches (the same
-    handshake the satellite history table uses)."""
+    handshake the satellite history table uses).
+
+    When the table carries key blooms (dvx.bloom; hubs/links by
+    default), the existence read is first PRUNED to the buckets whose
+    blooms report a possible hit — a batch of brand-new keys reads
+    (almost) no existing data — and the scan's per-bucket segments ride
+    along into the append commit, keeping coverage complete. Disable
+    with DVX_KEY_BLOOM=0 (A/B lever)."""
     if epoch_id is not None and tbl.last_epoch(stream_id) >= epoch_id:
         return
     others = [c for c in select_cols if c != key]
@@ -146,14 +198,23 @@ def _insert_new_keys(
         touched = sorted(r[0] for r in src_b.select(BUCKET_COL).distinct().collect())
     if not touched:
         return
-    existing = tbl.read(buckets=touched).select(key)
+    segments = None
+    candidates = touched
+    if os.environ.get("DVX_KEY_BLOOM", "1") != "0" and tbl.bloom_enabled():
+        scan = _bloom_key_scan(tbl, src_b, key)
+        candidates = sorted(b for b, (hits, _) in scan.items() if hits)
+        segments = {str(b): seg for b, (_, seg) in scan.items()}
     src_rows = (
         src_b.groupBy(key, BUCKET_COL)
         .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_s"))
         .select(key, "_s.*", BUCKET_COL)
     )
-    new = src_rows.join(existing, key, "left_anti")
-    tbl.append(new, summary=summary)
+    if candidates:
+        existing = tbl.read(buckets=candidates).select(key)
+        new = src_rows.join(existing, key, "left_anti")
+    else:
+        new = src_rows  # every batch key is provably absent
+    tbl.append(new, summary=summary, bloom_segments=segments)
 
 
 def _apply_satellite(

@@ -155,6 +155,10 @@ class LakeTable:
             raise FileExistsError(root)
         if (num_buckets is None) != (bucket_cols is None):
             raise ValueError("num_buckets and bucket_cols go together")
+        if (properties or {}).get("key_bloom") and (
+            bucket_cols is None or len(bucket_cols) != 1
+        ):
+            raise ValueError("key_bloom requires exactly one bucket column")
         os.makedirs(_log_dir(root), exist_ok=True)
         t = cls(spark, root)
         t._commit(
@@ -213,14 +217,21 @@ class LakeTable:
             for k in m.get("deltas_drop", []):
                 deltas.pop(k, None)
             deltas.update(m.get("deltas_set", {}))
+            blooms = dict(base.get("blooms", {}))
+            for k in m.get("blooms_drop", []):
+                blooms.pop(k, None)
+            blooms.update(m.get("blooms_set", {}))
             m = {
                 k: val for k, val in m.items()
                 if k not in ("files_set", "files_drop", "deltas_set",
-                             "deltas_drop", "delta_base")
+                             "deltas_drop", "blooms_set", "blooms_drop",
+                             "delta_base")
             }
             m["files"] = files
             m["deltas"] = deltas
+            m["blooms"] = blooms
         m.setdefault("deltas", {})
+        m.setdefault("blooms", {})
         if len(_SNAP_CACHE) > 512:
             _SNAP_CACHE.clear()
         _SNAP_CACHE[key] = m
@@ -510,7 +521,56 @@ class LakeTable:
             cols.append(F.col(BUCKET_COL))
         return df.select(*cols)
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+    # --------------------------------------------------------- key blooms
+
+    def bloom_enabled(self) -> bool:
+        """True when this table maintains per-bucket key bloom segments
+        (table property ``key_bloom``, set for hubs/links — append-only
+        key tables whose insert is an existence proof)."""
+        m = self.snapshot()
+        return bool(m.get("properties", {}).get("key_bloom")) and (
+            m["num_buckets"] is not None
+        )
+
+    def bloom_paths(self, version: int | None = None) -> dict[int, list[str]]:
+        """{bucket: [absolute segment paths]} for buckets with COMPLETE
+        bloom coverage at a snapshot. A bucket absent here (invalidated
+        or never bloomed) must be read the plain way."""
+        m = self.snapshot(version)
+        return {
+            int(k): [os.path.join(self.root, p) for p in ps]
+            for k, ps in m.get("blooms", {}).items()
+        }
+
+    def _segments_from_written(self, new_files: dict, m: dict) -> dict[str, bytes]:
+        """Fallback bloom build for direct append() callers: read the
+        just-written files' key column driver-side (pyarrow — the files
+        are new-keys-only, so this is O(new keys)) and build one segment
+        per manifest key. The hot path (dvx.apply) passes precomputed
+        segments from its prune scan instead."""
+        import pyarrow.parquet as pq
+
+        from dvx import bloom
+
+        key_col = m["bucket_cols"][0]
+        out = {}
+        for k, ps in new_files.items():
+            vals: list = []
+            for p in ps:
+                vals.extend(
+                    pq.read_table(os.path.join(self.root, p), columns=[key_col])
+                    .column(0)
+                    .to_pylist()
+                )
+            out[k] = bloom.build(vals)
+        return out
+
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        bloom_segments: dict[str, bytes] | None = None,
+    ) -> int:
         """Append-only insert (Iceberg append sink, IcebergWriter.scala:86-121).
 
         Refuses to append a row whose key has a PENDING MOR delta: the
@@ -554,11 +614,94 @@ class LakeTable:
             new_files, commit_rel = self._write_files(
                 self._schema_aligned(df, m), m, v + 1
             )
+            bloom_add = None
+            if (
+                m.get("properties", {}).get("key_bloom")
+                and m["num_buckets"] is not None
+                and new_files
+            ):
+                segs = bloom_segments or self._segments_from_written(new_files, m)
+                bloom_add = {}
+                for k in new_files:
+                    if k in segs:
+                        rel = os.path.join(commit_rel, f"_bloom_{k}.bin")
+                        with open(os.path.join(self.root, rel), "wb") as bf:
+                            bf.write(segs[k])
+                        bloom_add[k] = rel
             files = {k: list(ps) for k, ps in m["files"].items()}
             for k, ps in new_files.items():
                 files.setdefault(k, []).extend(ps)
             try:
-                return self._commit_next(m, v, "append", files, new_files, summary)
+                return self._commit_next(
+                    m, v, "append", files, new_files, summary, bloom_add=bloom_add
+                )
+            except CommitConflict:
+                self._drop_attempt(commit_rel)
+                continue
+
+    def append_rows(self, rows: list[dict], summary: dict | None = None) -> int:
+        """Driver-side tiny append: write ``rows`` as ONE parquet file via
+        pyarrow and commit — no Spark job at all.
+
+        The lineage/status path appends O(touched buckets) ~100-byte rows
+        per micro-batch; routing that through a Spark write costs a full
+        job (plan + schedule + task launch — measured ~0.5 s/batch at 16
+        cores, pure per-batch fixed floor). Metadata-sized appends are
+        driver work, the same way Delta/Iceberg write commit-log actions
+        driver-side. Restricted to unbucketed, unpartitioned tables
+        (load_metadata); data tables keep the distributed path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import types as T
+
+        _ARROW = {
+            T.LongType: pa.int64(),
+            T.IntegerType: pa.int32(),
+            T.StringType: pa.string(),
+            T.DoubleType: pa.float64(),
+            T.BooleanType: pa.bool_(),
+            T.DateType: pa.date32(),
+            # session tz is UTC (dvx.session); naive datetimes here are
+            # UTC by the metadata._now() contract
+            T.TimestampType: pa.timestamp("us", tz="UTC"),
+        }
+        while True:
+            v = self.version()
+            m = self.snapshot(v)
+            if m["num_buckets"] is not None or m["partition_col"]:
+                raise ValueError(
+                    "append_rows is the driver-side path for unbucketed, "
+                    "unpartitioned metadata tables; use append()"
+                )
+            schema = StructType.fromJson(m["schema"])
+            fields = []
+            for f in schema.fields:
+                at = _ARROW.get(type(f.dataType))
+                if at is None:
+                    raise TypeError(
+                        f"append_rows: no arrow mapping for {f.dataType}"
+                    )
+                fields.append(pa.field(f.name, at, nullable=True))
+            tbl = pa.Table.from_pydict(
+                {f.name: [r.get(f.name) for r in rows] for f in schema.fields},
+                schema=pa.schema(fields),
+            )
+            # same physical layout as the Spark writer (`_p=` hive dir with
+            # the empty-value sentinel) so compaction and readers treat
+            # both kinds of file identically
+            key = "__HIVE_DEFAULT_PARTITION__"
+            commit_rel = os.path.join("data", f"c{v + 1:010d}-{uuid.uuid4().hex[:8]}")
+            pdir = os.path.join(self.root, commit_rel, f"{_PHYS}={key}")
+            os.makedirs(pdir, exist_ok=True)
+            rel = os.path.join(
+                commit_rel, f"{_PHYS}={key}", f"part-00000-{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(tbl, os.path.join(self.root, rel), compression="snappy")
+            files = {k: list(ps) for k, ps in m["files"].items()}
+            files.setdefault(key, []).append(rel)
+            try:
+                return self._commit_next(m, v, "append", files, {key: [rel]}, summary)
             except CommitConflict:
                 self._drop_attempt(commit_rel)
                 continue
@@ -570,9 +713,20 @@ class LakeTable:
         while True:
             v = self.version()
             m = self.snapshot(v)
-            salts = max(2, self.spark.sparkContext.defaultParallelism)
+            par = self.spark.sparkContext.defaultParallelism
+            if _is_composite(m):
+                # the (partition x bucket) key space already spreads the
+                # write across ~num_buckets tasks per partition value;
+                # full-parallelism salting here multiplied FILES per key
+                # ~salts-fold (measured: full 7-date PIT build emitted
+                # buckets x ~26 files/date at 32 cores — the round-4
+                # pit_build 4.6 -> 7.8 s regression). Salt only up to the
+                # headroom the buckets don't cover.
+                salts = max(1, -(-par // m["num_buckets"]))
+            else:
+                salts = max(2, par)
             new_files, commit_rel = self._write_files(
-                self._schema_aligned(df, m), m, v + 1, salts=salts
+                self._schema_aligned(df, m), m, v + 1, salts=salts, wide=True
             )
             deltas = None
             if not m["partition_col"] and m["num_buckets"] is None:
@@ -794,9 +948,30 @@ class LakeTable:
                 self._drop_attempt(commit_rel)
                 continue
 
-    def _commit_next(self, m, v, op, files, new_files, summary, deltas=None):
+    def _commit_next(self, m, v, op, files, new_files, summary, deltas=None,
+                     bloom_add=None):
         if deltas is None:
             deltas = m.get("deltas", {})
+        blooms = {k: list(ps) for k, ps in m.get("blooms", {}).items()}
+        if m.get("properties", {}).get("key_bloom") and m["num_buckets"] is not None:
+            if op == "append":
+                # an appended key without a segment breaks the bucket's
+                # completeness invariant — drop that bucket's blooms so
+                # readers fall back to the plain existence read
+                for k in new_files:
+                    if bloom_add and k in bloom_add:
+                        blooms.setdefault(k, []).append(bloom_add[k])
+                    else:
+                        blooms.pop(k, None)
+            elif op == "compact":
+                pass  # pure rewrite of the same key set: blooms stay valid
+            else:
+                # merge/overwrite/upsert may introduce keys no segment
+                # covers; false negatives are correctness bugs, so
+                # invalidate the touched buckets (false positives = an
+                # extra read = safe; missing blooms = plain read = safe)
+                for k in new_files:
+                    blooms.pop(k, None)
         s = dict(m.get("summary", {}))
         epochs = dict(s.get("epochs", {}))
         user = dict(summary or {})
@@ -819,6 +994,7 @@ class LakeTable:
         if (v + 1) % _CHECKPOINT_EVERY == 0:
             manifest["files"] = files  # checkpoint: full map
             manifest["deltas"] = deltas
+            manifest["blooms"] = blooms
         else:
             old = m["files"]
             manifest["delta_base"] = v
@@ -831,6 +1007,11 @@ class LakeTable:
                 k: ps for k, ps in deltas.items() if old_d.get(k) != ps
             }
             manifest["deltas_drop"] = [k for k in old_d if k not in deltas]
+            old_b = m.get("blooms", {})
+            manifest["blooms_set"] = {
+                k: ps for k, ps in blooms.items() if old_b.get(k) != ps
+            }
+            manifest["blooms_drop"] = [k for k in old_b if k not in blooms]
         return self._commit(v, manifest)
 
     # ----------------------------------------------------- exactly-once API
@@ -975,6 +1156,8 @@ class LakeTable:
                 live.update(ps)
             for ps in snap.get("deltas", {}).values():
                 live.update(ps)
+            for ps in snap.get("blooms", {}).values():
+                live.update(ps)
         # the oldest retained manifest may be a delta whose base is about
         # to be expired: rewrite it as a checkpoint (resolved full map)
         # so the retained chain stays self-contained
@@ -991,7 +1174,11 @@ class LakeTable:
         removed = 0
         for v in expire:
             snap = self.snapshot(v)
-            refs = list(snap["files"].values()) + list(snap.get("deltas", {}).values())
+            refs = (
+                list(snap["files"].values())
+                + list(snap.get("deltas", {}).values())
+                + list(snap.get("blooms", {}).values())
+            )
             for ps in refs:
                 for p in ps:
                     if p not in live:

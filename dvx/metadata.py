@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dvx.lake import BUCKET_COL
-from dvx.schema import LOAD_METADATA, Vault
+from dvx.schema import Vault
 
 
 def _now() -> dt.datetime:
@@ -25,16 +25,17 @@ def _now() -> dt.datetime:
     return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
 
-def _row(vault: Vault, **kw) -> DataFrame:
-    defaults = {f.name: None for f in LOAD_METADATA.fields}
-    defaults.update(kw)
-    return vault.spark.createDataFrame([tuple(defaults[f.name] for f in LOAD_METADATA.fields)], LOAD_METADATA)
+# Status/lineage rows commit DRIVER-SIDE (lake.append_rows — one pyarrow
+# file + manifest commit, zero Spark jobs): a Spark write job for O(16)
+# ~100-byte rows is pure per-batch fixed floor (~0.5 s at 16 cores,
+# bench/profile_floor.py), the kind a real deployment pays at every
+# micro-batch checkpoint.
 
 
 def start_load(vault: Vault, load_id: int, entity: str, stream_id: str | None = None) -> None:
-    vault.load_metadata.append(
-        _row(vault, load_id=load_id, stream_id=stream_id, entity_name=entity,
-             status="IN_PROGRESS", load_start_ts=_now())
+    vault.load_metadata.append_rows(
+        [dict(load_id=load_id, stream_id=stream_id, entity_name=entity,
+              status="IN_PROGRESS", load_start_ts=_now())]
     )
 
 
@@ -48,10 +49,10 @@ def complete_load(
     status: str = "COMPLETED",
     error: str | None = None,
 ) -> None:
-    vault.load_metadata.append(
-        _row(vault, load_id=load_id, stream_id=stream_id, entity_name=entity,
-             records_extracted=records_extracted, records_loaded=records_loaded,
-             status=status, load_end_ts=_now(), error_message=error)
+    vault.load_metadata.append_rows(
+        [dict(load_id=load_id, stream_id=stream_id, entity_name=entity,
+              records_extracted=records_extracted, records_loaded=records_loaded,
+              status=status, load_end_ts=_now(), error_message=error)]
     )
 
 
@@ -68,15 +69,17 @@ def log_epoch_lineage(
     + metrics at every checkpoint, without three separate tiny writes)."""
     now = _now()
     rows = [
-        (load_id, stream_id, entity, int(b), None, int(c), "PARTITION_METRIC",
-         None, now, None)
+        dict(load_id=load_id, stream_id=stream_id, entity_name=entity,
+             partition_id=int(b), records_loaded=int(c),
+             status="PARTITION_METRIC", load_end_ts=now)
         for b, c in sorted(bucket_counts)
     ]
     rows.append(
-        (load_id, stream_id, entity, None, records, records, "COMPLETED",
-         None, now, None)
+        dict(load_id=load_id, stream_id=stream_id, entity_name=entity,
+             records_extracted=records, records_loaded=records,
+             status="COMPLETED", load_end_ts=now)
     )
-    vault.load_metadata.append(vault.spark.createDataFrame(rows, LOAD_METADATA))
+    vault.load_metadata.append_rows(rows)
 
 
 def log_partition_metrics(

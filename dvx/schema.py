@@ -205,10 +205,21 @@ def registry_tables(registry) -> dict[str, dict]:
     (end-dated versions, never rewritten); full history = their union
     (Vault.sat_all)."""
     out: dict[str, dict] = {}
+    # key_bloom: hubs/links are append-only key tables whose insert is an
+    # existence proof — per-bucket bloom segments (dvx.bloom) let the
+    # anti-join skip reading buckets that cannot contain any batch key,
+    # turning existing-key read IO from O(live keys)/batch toward
+    # O(possibly-present buckets)
     for h in registry.hubs:
-        out[h.name] = dict(schema=hub_schema(h), bucket_cols=[h.hash_key])
+        out[h.name] = dict(
+            schema=hub_schema(h), bucket_cols=[h.hash_key],
+            properties={"key_bloom": True},
+        )
     for l in registry.links:
-        out[l.name] = dict(schema=link_schema(l), bucket_cols=[l.hash_key])
+        out[l.name] = dict(
+            schema=link_schema(l), bucket_cols=[l.hash_key],
+            properties={"key_bloom": True},
+        )
     for s in registry.satellites:
         out[s.name] = dict(schema=sat_schema(s), bucket_cols=[s.parent_key])
         out[s.hist_name] = dict(schema=sat_schema(s), bucket_cols=[s.parent_key])
@@ -266,6 +277,8 @@ class Vault:
                 kwargs["bucket_cols"] = spec["bucket_cols"]
             if "partition_col" in spec:
                 kwargs["partition_col"] = spec["partition_col"]
+            if "properties" in spec:
+                kwargs["properties"] = spec["properties"]
             LakeTable.create(self.spark, self.path(name), spec["schema"], **kwargs)
 
     def table(self, name: str) -> LakeTable:
