@@ -118,28 +118,57 @@ def _spill_path(vault: Vault) -> str:
     return os.path.join(base, "dvx_spill", uuid.uuid4().hex)
 
 
-def _bloom_key_scan(tbl, src_b: DataFrame, key: str) -> dict[int, tuple[int, bytes]]:
-    """One shuffle-keyed pass over the batch keys per bucket: test them
-    against the bucket's existing bloom segments AND build this batch's
-    new segment. Returns ``{bucket: (possible_hits, segment_bytes)}``.
+def _bloom_scan(
+    prepared: DataFrame, specs: list[tuple[str, object, str]]
+) -> dict[str, dict[int, tuple[int, bytes, int]]]:
+    """ONE shuffle-keyed job serving every bloom-enabled key table of the
+    batch: per (table, bucket), test the batch keys against the bucket's
+    existing bloom segments, build this batch's new segment, and count
+    rows. Returns ``{table: {bucket: (possible_hits, segment, rows)}}``.
 
-    Executors read segment files straight from the table directory (no
-    bitmap broadcast through the driver); a bucket without complete
-    bloom coverage reports all keys as possible hits (= must read)."""
+    Fusing the tables into a single applyInPandas pass matters because
+    each extra Spark job is per-batch fixed floor (~0.3-0.5 s at 16
+    cores): this one job replaces three per-table scans AND the
+    per-bucket lineage counts agg AND the per-table touched-bucket
+    distinct-collects (its group keys are exactly the touched buckets).
+    Executors read segment files straight from the table directory — no
+    bitmap broadcast through the driver. A bucket without complete bloom
+    coverage reports all keys as possible hits (= must read)."""
+    from functools import reduce
+
     import pandas as pd
 
     from dvx import bloom as _bloom
 
-    m = tbl.snapshot()
-    seg_paths = tbl.bloom_paths()
-    composite = False  # bloom tables are plain bucketed (create() guard)
-    with_files = {
-        int(k) for k in (set(m["files"]) | set(m.get("deltas", {}))) if k.isdigit()
-    } if not composite else set()
+    info = {}
+    frames = []
+    for name, tbl, key in specs:
+        m = tbl.snapshot()
+        if m["bucket_cols"] != [key]:  # scan recomputes the bucket fn inline
+            raise ValueError(
+                f"{name}: bloom scan requires bucket_cols == [{key}], "
+                f"got {m['bucket_cols']}"
+            )
+        info[name] = (
+            tbl.bloom_paths(),
+            {int(k) for k in (set(m["files"]) | set(m.get("deltas", {}))) if k.isdigit()},
+        )
+        frames.append(
+            prepared.select(
+                F.lit(name).alias("_t"),
+                F.col(key).alias("_k"),
+                F.pmod(F.xxhash64(F.col(key)), F.lit(m["num_buckets"]))
+                .cast("int")
+                .alias("_b"),
+            )
+        )
+    allk = reduce(lambda a, b: a.unionByName(b), frames)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(pdf[BUCKET_COL].iloc[0])
-        uniq = pdf[key].drop_duplicates().tolist()
+        name = pdf["_t"].iloc[0]
+        b = int(pdf["_b"].iloc[0])
+        seg_paths, with_files = info[name]
+        uniq = pdf["_k"].drop_duplicates().tolist()
         if b in seg_paths:
             segs = []
             for p in seg_paths[b]:
@@ -151,16 +180,19 @@ def _bloom_key_scan(tbl, src_b: DataFrame, key: str) -> dict[int, tuple[int, byt
         else:
             hits = 0  # bucket has no data at all
         return pd.DataFrame(
-            [{"bucket": b, "hits": hits, "segment": _bloom.build(uniq)}]
+            [{"t": name, "bucket": b, "hits": hits, "cnt": len(pdf),
+              "segment": _bloom.build(uniq)}]
         )
 
     rows = (
-        src_b.select(key, BUCKET_COL)
-        .groupBy(BUCKET_COL)
-        .applyInPandas(fn, "bucket int, hits long, segment binary")
+        allk.groupBy("_t", "_b")
+        .applyInPandas(fn, "t string, bucket int, hits long, cnt long, segment binary")
         .collect()
     )
-    return {r.bucket: (r.hits, bytes(r.segment)) for r in rows}
+    out: dict[str, dict[int, tuple[int, bytes, int]]] = {n: {} for n, _, _ in specs}
+    for r in rows:
+        out[r.t][r.bucket] = (r.hits, bytes(r.segment), r.cnt)
+    return out
 
 
 def _insert_new_keys(
@@ -172,6 +204,7 @@ def _insert_new_keys(
     stream_id: str,
     summary: dict | None,
     touched: list[int] | None = None,
+    scan: dict[int, tuple[int, bytes, int]] | None = None,
 ) -> None:
     """Insert-only hub/link apply as an anti-join + APPEND.
 
@@ -188,22 +221,29 @@ def _insert_new_keys(
     default), the existence read is first PRUNED to the buckets whose
     blooms report a possible hit — a batch of brand-new keys reads
     (almost) no existing data — and the scan's per-bucket segments ride
-    along into the append commit, keeping coverage complete. Disable
-    with DVX_KEY_BLOOM=0 (A/B lever)."""
+    along into the append commit, keeping coverage complete.
+    ``scan`` is the table's slice of apply_batch's fused
+    :func:`_bloom_scan` (standalone callers compute their own); disable
+    wholesale with DVX_KEY_BLOOM=0 (A/B lever)."""
     if epoch_id is not None and tbl.last_epoch(stream_id) >= epoch_id:
         return
     others = [c for c in select_cols if c != key]
     src_b = tbl.with_bucket(src)
+    if scan is None and (
+        os.environ.get("DVX_KEY_BLOOM", "1") != "0" and tbl.bloom_enabled()
+    ):
+        scan = _bloom_scan(src, [("t", tbl, key)])["t"]
     if touched is None:
-        touched = sorted(r[0] for r in src_b.select(BUCKET_COL).distinct().collect())
+        touched = sorted(scan) if scan is not None else sorted(
+            r[0] for r in src_b.select(BUCKET_COL).distinct().collect()
+        )
     if not touched:
         return
     segments = None
     candidates = touched
-    if os.environ.get("DVX_KEY_BLOOM", "1") != "0" and tbl.bloom_enabled():
-        scan = _bloom_key_scan(tbl, src_b, key)
-        candidates = sorted(b for b, (hits, _) in scan.items() if hits)
-        segments = {str(b): seg for b, (_, seg) in scan.items()}
+    if scan is not None:
+        candidates = sorted(b for b, (hits, _, _) in scan.items() if hits)
+        segments = {str(b): seg for b, (_, seg, _) in scan.items()}
     src_rows = (
         src_b.groupBy(key, BUCKET_COL)
         .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_s"))
@@ -688,27 +728,48 @@ def apply_batch(
         bucket_counts: list[tuple[int, int]] = []
         n = None
         sat_touched: dict[str, list[int]] = {}
+
+        # ONE fused scan job for every bloom-enabled key table: bloom
+        # prune + this batch's segments + per-bucket row counts + the
+        # touched-bucket lists, replacing up to four separate per-batch
+        # jobs (the lineage counts agg, per-table distinct-collects,
+        # per-table bloom scans) — each one pure fixed floor.
+        scan_specs = [
+            (h.name, vault.table(h.name), h.hash_key) for h in registry.hubs
+        ] + [
+            (l.name, vault.table(l.name), l.hash_key) for l in registry.links
+        ]
+        use_bloom = os.environ.get("DVX_KEY_BLOOM", "1") != "0"
+        bloomed = [
+            (nm, t, k) for nm, t, k in scan_specs if use_bloom and t.bloom_enabled()
+        ]
+        scans = _bloom_scan(prepared, bloomed) if bloomed else {}
+        for nm, _, k in bloomed:
+            sat_touched[nm] = sorted(scans[nm])
+
+        count_src = next(
+            (nm for nm, _, k in bloomed
+             if first_sat is not None and k == first_sat.parent_key),
+            None,
+        )
         if collect_metrics and first_sat is not None:
-            bucketed = vault.table(first_sat.name).with_bucket(prepared)
-            bucket_counts = [
-                (r[0], r[1])
-                for r in bucketed.groupBy(BUCKET_COL).count().collect()
-            ]
+            if count_src is not None:
+                # per-bucket counts fall out of the fused scan (same key
+                # column, same vault-wide bucket function as the sat)
+                bucket_counts = sorted(
+                    (b, cnt) for b, (_, _, cnt) in scans[count_src].items()
+                )
+            else:
+                bucketed = vault.table(first_sat.name).with_bucket(prepared)
+                bucket_counts = [
+                    (r[0], r[1])
+                    for r in bucketed.groupBy(BUCKET_COL).count().collect()
+                ]
             n = sum(c for _, c in bucket_counts)
-            # the lineage agg already enumerated the touched buckets —
-            # hand them to every satellite sharing the same parent key
-            # (same hash, same vault-wide bucket count), saving each a
-            # distinct-collect job per batch
             touched_list = sorted(b for b, c in bucket_counts if c)
             for s in registry.satellites:
                 if s.parent_key == first_sat.parent_key:
                     sat_touched[s.name] = touched_list
-            # hubs/links bucketed on the SAME hash key (hub_turn) share
-            # the bucket function too — skip their per-batch
-            # distinct+collect as well
-            for h in registry.hubs:
-                if h.hash_key == first_sat.parent_key:
-                    sat_touched[h.name] = touched_list
         else:
             n = prepared.count()
         _pmark("counts")
@@ -719,12 +780,13 @@ def apply_batch(
             cols = [h.hash_key, *h.business_keys, *audit]
             tasks.append(
                 (vault.table(h.name), prepared.select(*cols), h.hash_key, cols,
-                 sat_touched.get(h.name))
+                 sat_touched.get(h.name), scans.get(h.name))
             )
         for l in registry.links:
             cols = [l.hash_key, *l.parents, *audit]
             tasks.append(
-                (vault.table(l.name), prepared.select(*cols), l.hash_key, cols, None)
+                (vault.table(l.name), prepared.select(*cols), l.hash_key, cols,
+                 sat_touched.get(l.name), scans.get(l.name))
             )
 
         if parallel:
@@ -747,9 +809,9 @@ def apply_batch(
                     ex.submit(
                         _pooled, f"dvx_merge_{i}",
                         _insert_new_keys, tbl, src, key, cols, epoch_id, stream_id,
-                        summary, touched
+                        summary, touched, scan
                     )
-                    for i, (tbl, src, key, cols, touched) in enumerate(tasks)
+                    for i, (tbl, src, key, cols, touched, scan) in enumerate(tasks)
                 ]
                 futs += [
                     ex.submit(
@@ -763,9 +825,9 @@ def apply_batch(
                     f.result()
             _pmark("merges")
         else:
-            for tbl, src, key, cols, touched in tasks:
+            for tbl, src, key, cols, touched, scan in tasks:
                 _insert_new_keys(
-                    tbl, src, key, cols, epoch_id, stream_id, summary, touched
+                    tbl, src, key, cols, epoch_id, stream_id, summary, touched, scan
                 )
             for s in registry.satellites:
                 _apply_satellite(

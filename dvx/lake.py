@@ -619,6 +619,10 @@ class LakeTable:
                 m.get("properties", {}).get("key_bloom")
                 and m["num_buckets"] is not None
                 and new_files
+                # DVX_KEY_BLOOM=0 turns blooms off wholesale (A/B lever):
+                # appending without segments drops the touched buckets'
+                # coverage in _commit_next, so readers safely fall back
+                and os.environ.get("DVX_KEY_BLOOM", "1") != "0"
             ):
                 segs = bloom_segments or self._segments_from_written(new_files, m)
                 bloom_add = {}

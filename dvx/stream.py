@@ -172,8 +172,22 @@ def run_stream(
         # restart tests examine the mid-stream state on purpose.
         if not injected:
             try:
-                for s in vault.registry.satellites:
-                    vault.table(s.name).compact_deltas(max_delta_files=1)
+                # independent tables: run the fold jobs concurrently on
+                # the executors (same overlap pattern as apply_batch's
+                # merges) — the drain fold is the largest single block of
+                # replay wall outside the batches (bench/profile_floor)
+                from concurrent.futures import ThreadPoolExecutor as _TPE
+
+                sats = list(vault.registry.satellites)
+                with _TPE(max_workers=max(1, len(sats))) as ex:
+                    futs = [
+                        ex.submit(
+                            vault.table(s.name).compact_deltas, 1
+                        )
+                        for s in sats
+                    ]
+                    for f in futs:
+                        f.result()
             except Exception as ce:
                 import sys as _sys
 
