@@ -30,16 +30,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_corpus(spark, n: int, dim: int = 64, seed: int = 7, planted_dups: int = 0):
+def make_corpus(spark, n: int, dim: int = 64, seed: int = 7, planted_dups: int = 0,
+                dup_sources=None, noise_scale: float = 0.08):
     """Deterministic unit-ish vectors; optionally plant near-duplicates
-    (a copy + small noise) for the pair-recall experiment."""
+    (a copy + small noise) as the LAST ``planted_dups`` rows. By default
+    sources are random rows; ``dup_sources`` (array of row ids, length
+    ``planted_dups``) plants them against chosen rows — the ANN
+    experiment plants ~k neighbors per query this way."""
     import pandas as pd
 
     rng = np.random.Generator(np.random.PCG64(seed))
     base = rng.normal(size=(n, dim))
     if planted_dups:
-        src = rng.integers(0, n - planted_dups, size=planted_dups)
-        noise = rng.normal(scale=0.08, size=(planted_dups, dim))
+        src = (
+            np.asarray(dup_sources)
+            if dup_sources is not None
+            else rng.integers(0, n - planted_dups, size=planted_dups)
+        )
+        noise = rng.normal(scale=noise_scale, size=(planted_dups, dim))
         base[n - planted_dups:] = base[src] + noise
     base /= np.linalg.norm(base, axis=1, keepdims=True)
     pdf = pd.DataFrame(
@@ -62,36 +70,58 @@ def main() -> None:
     spark = get_spark(app_name="dvx-recall", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
 
-    emb = make_corpus(spark, n_corpus).persist()
-    emb.count()
-    queries = emb.filter(F.col("vec_id") % (n_corpus // n_queries) == 0).persist()
-
     k = 10
-    truth = {
-        (r.query_id, r.neighbor_id)
-        for r in brute_force_topk(emb, queries, k=k).collect()
+    # Two ANN corpora:
+    # - "planted": each query row gets k noisy copies (cos ~0.9+) — the
+    #   operational regime (real embedding corpora are clustered; the
+    #   point of ANN is finding the genuinely-close rows). The recall
+    #   floor test pins THIS number.
+    # - "uniform": pure gaussian — the adversarial case where the true
+    #   top-10 sit at cos ~0.45 and hyperplane-LSH collision probability
+    #   (1 - theta/pi)^planes per table is the theoretical ceiling;
+    #   reported to document the degradation honestly, not pinned.
+    step = (n_corpus - n_queries * k) // n_queries
+    qids = np.arange(n_queries, dtype=np.int64) * step
+    variants = {
+        "planted": make_corpus(
+            spark, n_corpus, planted_dups=n_queries * k,
+            dup_sources=np.repeat(qids, k),
+        ),
+        "uniform": make_corpus(spark, n_corpus),
     }
-
-    grid = []
-    for planes in (8, 12, 16):
-        for tables in (2, 4, 8):
-            got = {
-                (r.query_id, r.neighbor_id)
-                for r in lsh_ann(
-                    emb, queries, k=k, num_planes=planes, num_tables=tables
-                ).collect()
-            }
-            grid.append(
-                {
-                    "planes": planes,
-                    "tables": tables,
-                    "recall_at_10": round(len(got & truth) / len(truth), 4),
+    ann = {}
+    for label, emb in variants.items():
+        emb = emb.persist()
+        emb.count()
+        queries = emb.join(
+            spark.createDataFrame([(int(i),) for i in qids], "vec_id long"),
+            "vec_id", "left_semi",
+        ).persist()
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, queries, k=k).collect()
+        }
+        grid = []
+        for planes in (8, 12, 16):
+            for tables in (2, 4, 8):
+                got = {
+                    (r.query_id, r.neighbor_id)
+                    for r in lsh_ann(
+                        emb, queries, k=k, num_planes=planes, num_tables=tables
+                    ).collect()
                 }
-            )
-            print(f"# ann planes={planes} tables={tables} "
-                  f"recall={grid[-1]['recall_at_10']}", file=sys.stderr)
-    emb.unpersist()
-    queries.unpersist()
+                grid.append(
+                    {
+                        "planes": planes,
+                        "tables": tables,
+                        "recall_at_10": round(len(got & truth) / len(truth), 4),
+                    }
+                )
+                print(f"# ann[{label}] planes={planes} tables={tables} "
+                      f"recall={grid[-1]['recall_at_10']}", file=sys.stderr)
+        ann[label] = grid
+        emb.unpersist()
+        queries.unpersist()
 
     # ---- near-dup pair recall (planted dups, threshold 0.92) ----
     n_nd, n_planted = 5000, 500
@@ -133,7 +163,7 @@ def main() -> None:
               f"recall={nd_grid[-1]['pair_recall']}", file=sys.stderr)
 
     print(json.dumps({
-        "ann": {"corpus": n_corpus, "queries": n_queries, "k": k, "grid": grid},
+        "ann": {"corpus": n_corpus, "queries": n_queries, "k": k, "grids": ann},
         "near_dup_pairs": {"corpus": n_nd, "planted": n_planted,
                            "threshold": thr, "grid": nd_grid},
     }))

@@ -342,12 +342,16 @@ def _apply_satellite(
         _mark("touched_collect")
         if not touched:
             return
-        cur = cur_tbl.with_bucket(cur_tbl.read(buckets=touched))
 
-        # the decisions pass needs only the version columns of current:
-        # a column-pruned read keeps the MOR last-wins agg off `text`
+        # the decisions pass needs only the version columns of current —
+        # and only for keys THE BATCH CARRIES: a column-pruned,
+        # key-filtered read keeps the MOR last-wins agg off `text` AND
+        # off every key the batch doesn't mention, so this read (and the
+        # decisions join below, whose build side it is) stays O(batch)
+        # as the table grows instead of O(touched buckets' live keys)
         cur_live = cur_tbl.read(
-            buckets=touched, columns=[key, "hash_diff", "valid_from", "src_seq"]
+            buckets=touched, columns=[key, "hash_diff", "valid_from", "src_seq"],
+            key_filter=src.select(key),
         ).select(
             F.col(key),
             F.col("hash_diff").alias("_cur_diff"),
@@ -483,6 +487,15 @@ def _apply_satellite(
         enders = winners_n.groupBy(key).agg(F.min("ts").alias("_end_ts")).hint(
             "shuffle_hash"
         )
+        # full current rows are needed ONLY for the displaced set (keys
+        # whose stored version gets end-dated into history) — key_filter
+        # prunes the full-text MOR merge to those keys BEFORE it runs, so
+        # the displaced read is O(updated keys), not O(touched buckets).
+        # enders derives from the spilled decisions parquet, so this does
+        # not recompute the chain.
+        cur = cur_tbl.with_bucket(
+            cur_tbl.read(buckets=touched, key_filter=enders.select(key))
+        )
         displaced = (
             cur.join(enders, key, "inner")
             .withColumn("valid_to", F.col("_end_ts"))
@@ -590,9 +603,13 @@ def _apply_satellite(
             # whole bucket's
             hist_stale = hist_tbl.with_bucket(hist_tbl.read(buckets=stale_buckets))
             hist_re = as_version(hist_stale.join(stale_keys, key, "left_semi"))
+            # key_filter pushes the stale-key semi below the MOR merge:
+            # the re-chain's current read pays the last-wins agg over the
+            # stale KEYS' rows only (hist_stale stays a full-bucket read —
+            # its untouched keys pass through into new_hist)
             cur_re = as_version(
-                cur_tbl.with_bucket(cur_tbl.read(buckets=stale_buckets)).join(
-                    stale_keys, key, "left_semi"
+                cur_tbl.with_bucket(
+                    cur_tbl.read(buckets=stale_buckets, key_filter=stale_keys)
                 )
             )
             # dedup redeliveries on (key, ts, seq) with a deterministic
@@ -799,19 +816,24 @@ def apply_batch(
 
             def _pooled(pool: str, fn, *args):
                 sc.setLocalProperty("spark.scheduler.pool", pool)
+                _tt0 = _time.time()
                 try:
                     return fn(*args)
                 finally:
+                    if _prof:  # per-task walls (overlapping — attribution only)
+                        _pts[f"t_{pool.removeprefix('dvx_merge_')}"] = round(
+                            _time.time() - _tt0, 2
+                        )
                     sc.setLocalProperty("spark.scheduler.pool", None)
 
             with ThreadPoolExecutor(max_workers=3 + len(registry.satellites)) as ex:
                 futs = [
                     ex.submit(
-                        _pooled, f"dvx_merge_{i}",
+                        _pooled, f"dvx_merge_{os.path.basename(tbl.root)}",
                         _insert_new_keys, tbl, src, key, cols, epoch_id, stream_id,
                         summary, touched, scan
                     )
-                    for i, (tbl, src, key, cols, touched, scan) in enumerate(tasks)
+                    for tbl, src, key, cols, touched, scan in tasks
                 ]
                 futs += [
                     ex.submit(

@@ -295,6 +295,7 @@ class LakeTable:
         partitions: list[str] | None = None,
         columns: list[str] | None = None,
         keys: list[str] | None = None,
+        key_filter: DataFrame | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, with manifest-level file pruning.
 
@@ -313,8 +314,21 @@ class LakeTable:
         path: the last-wins merge agg then runs over the pruned struct —
         a consumer that needs only the key/version columns never pays the
         merge over ``text``.
+
+        ``key_filter`` (bucketed tables): a frame whose ``bucket_cols``
+        columns name the keys the caller wants — rows for other keys are
+        dropped by a semi-join BELOW the merge-on-read agg. Per-key
+        last-wins semantics are preserved (filtering by key keeps every
+        candidate row of a surviving key), but the agg — the expensive
+        part, a hash aggregate over the buckets' full contents including
+        wide columns — shrinks from O(touched buckets' rows) to O(kept
+        keys' rows). This is what keeps the per-micro-batch satellite
+        apply O(batch), not O(table): the batch's key set is a vanishing
+        fraction of a grown table's buckets.
         """
         m = self.snapshot(version)
+        if key_filter is not None and not m["bucket_cols"]:
+            raise ValueError("key_filter requires a bucketed table")
         schema = StructType.fromJson(m["schema"])
         if columns is not None:
             want = set(columns) | set(m["bucket_cols"] or [])
@@ -346,8 +360,21 @@ class LakeTable:
         ]
         if not plain_files and not mor_files:
             return self.spark.createDataFrame([], schema)
+
+        def _keep(df: DataFrame) -> DataFrame:
+            if key_filter is None:
+                return df
+            kc = m["bucket_cols"]
+            kf = key_filter.select(*kc).distinct()
+            # broadcast the key set: micro-batch keysets are bounded (MBs)
+            # while the table side is the wide rows we must NOT shuffle —
+            # a broadcast semi keeps them streaming through the scan.
+            # Callers with unbounded key sets pass their own pre-shaped
+            # frame and should not use key_filter at all.
+            return df.join(F.broadcast(kf), kc, "left_semi")
+
         plain = (
-            self.spark.read.schema(schema).parquet(*plain_files)
+            _keep(self.spark.read.schema(schema).parquet(*plain_files))
             if plain_files
             else None
         )
@@ -367,11 +394,14 @@ class LakeTable:
         cols = raw.columns
         # project the commit version out of the file path first:
         # input_file_name() is non-deterministic, so it must live in a
-        # Project below the Aggregate, not inside the agg expression
+        # Project below the Aggregate, not inside the agg expression —
+        # and below the key_filter semi-join too (with two file sources
+        # in the plan, input_file_name() is ambiguous and rejected)
         df = raw.withColumn(
             "_cv",
             F.regexp_extract(F.input_file_name(), r"data/c(\d+)[-/]", 1).cast("long"),
         )
+        df = _keep(df)
         ordered = F.struct(F.col("_cv"), *[F.col(c) for c in cols])
         key_cols = m["bucket_cols"]
         merged = (

@@ -150,6 +150,7 @@ def run_stream(
         .start()
     )
     injected = False
+    stream_error = None
     try:
         q.awaitTermination()
     except Exception as e:
@@ -159,6 +160,7 @@ def run_stream(
         # propagate, or the restart test would "pass" while masking it
         injected = fail_after_batches is not None and _INJECT_TOKEN in str(e)
         if not injected:
+            stream_error = e
             raise
     finally:
         if q.isActive:
@@ -189,13 +191,16 @@ def run_stream(
                     for f in futs:
                         f.result()
             except Exception as ce:
-                import sys as _sys
-
-                if _sys.exc_info()[0] is not None:
+                # NOTE: sys.exc_info() inside this handler reports `ce`
+                # itself, so it cannot detect a propagating stream error —
+                # the explicit stream_error capture above does.
+                if stream_error is not None:
                     # a real streaming exception is already propagating;
                     # raising from finally would REPLACE it and mask the
                     # root cause (often the same underlying fault) —
                     # log-and-suppress the compaction error instead
+                    import sys as _sys
+
                     print(
                         "dvx: end-of-drain delta compaction failed while a "
                         f"streaming error is propagating (suppressed): {ce!r}",

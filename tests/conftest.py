@@ -12,6 +12,12 @@ from dvx.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("DVX_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute guard tests (recall floors, scale pins)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="dvx-tests", master="local[4]", shuffle_partitions=4)

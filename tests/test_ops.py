@@ -237,3 +237,63 @@ def test_frame_sample_explodes(spark):
     rows = frames.collect()
     assert len(rows) == 6 * 2  # frames 0 and 2 of 4
     assert {r.frame_idx for r in rows} == {0, 2}
+
+
+@pytest.mark.slow
+def test_lsh_recall_floor_planted_corpus(spark):
+    # floor pinned from the 10^5 campaign (bench/recall_lsh.py,
+    # bench/RECALL_r05.json: planted-ANN 0.998 @ (8,4), pair recall 1.0
+    # at the product default) — smaller corpus here, same generator,
+    # seed-pure so the number is deterministic, not a flaky sample
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "bench"))
+    import numpy as np
+    from recall_lsh import make_corpus
+
+    from dvx.ops.dedup import near_dups_lsh
+    from dvx.ops.similarity import brute_force_topk, lsh_ann
+
+    n, nq, k = 10_000, 50, 10
+    step = (n - nq * k) // nq
+    qids = np.arange(nq, dtype=np.int64) * step
+    emb = make_corpus(
+        spark, n, planted_dups=nq * k, dup_sources=np.repeat(qids, k)
+    ).persist()
+    queries = emb.join(
+        spark.createDataFrame([(int(i),) for i in qids], "vec_id long"),
+        "vec_id", "left_semi",
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=k).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann(emb, queries, k=k, num_planes=8, num_tables=4).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.95
+
+    # the campaign corpus exactly (recall measured 1.0 there): boundary
+    # pairs at cos ~0.92 make smaller corpora noisier than the pin
+    nd = make_corpus(spark, 5_000, seed=11, planted_dups=500).persist()
+    a, b = nd.alias("a"), nd.alias("b")
+    from dvx.ops.similarity import cosine
+
+    brute_pairs = {
+        (r.ia, r.ib)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", cosine(F.col("a.embedding"), F.col("b.embedding")))
+        .filter(F.col("cos") >= 0.92)
+        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"))
+        .collect()
+    }
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in near_dups_lsh(
+            nd, threshold=0.92, num_planes=8, num_tables=4
+        ).collect()
+    }
+    assert len(got_pairs & brute_pairs) / max(1, len(brute_pairs)) >= 0.98
+    emb.unpersist()
+    nd.unpersist()
