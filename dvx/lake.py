@@ -366,12 +366,13 @@ class LakeTable:
                 return df
             kc = m["bucket_cols"]
             kf = key_filter.select(*kc).distinct()
-            # broadcast the key set: micro-batch keysets are bounded (MBs)
-            # while the table side is the wide rows we must NOT shuffle —
-            # a broadcast semi keeps them streaming through the scan.
-            # Callers with unbounded key sets pass their own pre-shaped
-            # frame and should not use key_filter at all.
-            return df.join(F.broadcast(kf), kc, "left_semi")
+            # shuffle_hash on the key side: hashing a narrow key set
+            # never sort-merge-sorts the wide table rows, and AQE still
+            # converts to broadcast at runtime when the key set is
+            # actually small (a forced broadcast would make the driver
+            # build an O(batch-keys) relation every micro-batch — a
+            # fixed, non-scaling cost and an OOM hazard at big batches).
+            return df.join(kf.hint("shuffle_hash"), kc, "left_semi")
 
         plain = (
             _keep(self.spark.read.schema(schema).parquet(*plain_files))
