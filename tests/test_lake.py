@@ -328,3 +328,38 @@ def test_concurrent_delta_upserts_converge(spark, tmp_path):
 
     got = {r.k: r.v for r in tbl.read().collect()}
     assert got == {f"k{i}": i + 10 for i in range(6)}
+
+
+def test_read_key_filter_prunes_below_mor_merge(spark, tbl):
+    """key_filter semantics: per-key last-wins is preserved for kept
+    keys, other keys are absent, and the semi-join sits BELOW the
+    merge-on-read aggregate (the whole point: the agg never hashes rows
+    of keys the caller didn't ask for)."""
+    tbl.append(_df(spark, [("a", 1), ("b", 2), ("c", 3)]))
+    tbl.upsert_delta(_df(spark, [("a", 10), ("d", 40)]))
+    tbl.upsert_delta(_df(spark, [("a", 100), ("b", 20)]))
+
+    kf = spark.createDataFrame([("a",), ("d",), ("zz",)], "k string")
+    got = sorted((r.k, r.v) for r in tbl.read(key_filter=kf).collect())
+    # last-wins for kept keys; b/c filtered out; zz absent from table
+    assert got == [("a", 100), ("d", 40)]
+
+    # plan shape: the LeftSemi join must be a descendant of the
+    # last-wins Aggregate, not above it
+    plan = tbl.read(key_filter=kf)._jdf.queryExecution().optimizedPlan().toString()
+    agg_at = plan.find("Aggregate")
+    semi_at = plan.find("LeftSemi")
+    assert agg_at != -1 and semi_at != -1
+    assert semi_at > agg_at  # deeper in the tree prints later
+
+    # non-bucketed tables refuse key_filter instead of mis-filtering
+    import pytest as _pytest
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    flat = LakeTable.create(
+        spark, tbl.root + "_flat",
+        StructType([StructField("k", StringType())]),
+    )
+    with _pytest.raises(ValueError, match="bucketed"):
+        flat.read(key_filter=kf)
