@@ -8,7 +8,9 @@ evidence for the hot paths plus automated checks:
   under the threshold at this SF,
 - WholeStageCodegen spans cover the JVM-side operators,
 - the satellite narrow chain reuses the join exchange for its window
-  (single shuffle for join+window+flags).
+  (single shuffle for join+window+flags),
+- merge-on-read reads with a key_filter keep the semi-join BELOW the
+  last-wins merge aggregate (read work O(requested keys)).
 
 Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001)
 """
@@ -74,6 +76,55 @@ def main() -> None:
         ("Bridge (link ⋈ hub ⋈ hub ⋈ current-sat)", explain_str(bridge), [])
     )
 
+    # 4. MOR read with key_filter: the semi-join must sit BELOW the
+    # last-wins merge aggregate (legal because filtering by the bucket
+    # key keeps every candidate row of a surviving key), so the agg
+    # never hashes rows of keys the caller didn't ask for. Built on a
+    # scratch table because the audit needs live (unfolded) deltas.
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from dvx.lake import LakeTable
+
+    scratch = tempfile.mkdtemp(prefix="dvx_plan_audit_")
+    try:
+        kv = StructType(
+            [StructField("k", StringType()), StructField("v", IntegerType())]
+        )
+        mor = LakeTable.create(
+            spark, os.path.join(scratch, "mor"), kv, num_buckets=4, bucket_cols=["k"]
+        )
+        mor.append(spark.createDataFrame([("a", 1), ("b", 2)], kv))
+        mor.upsert_delta(spark.createDataFrame([("a", 10)], kv))
+        kf = spark.createDataFrame([("a",)], "k string")
+        kf_read = mor.read(key_filter=kf)
+        kf_plan = kf_read._jdf.queryExecution().optimizedPlan().toString()
+        sections.append(
+            (
+                "MOR read with key_filter (semi-join pushed below the "
+                "last-wins merge aggregate)",
+                explain_str(kf_read),
+                ["LeftSemi", "Aggregate"],
+            )
+        )
+        # the read may union a plain branch (buckets without deltas,
+        # filtered by its own semi) with the merged branch; the claim is
+        # about the MERGED branch, so look for a LeftSemi in the
+        # Aggregate's subtree (which prints after it), not the first
+        # LeftSemi anywhere in the tree
+        agg_at = kf_plan.find("Aggregate")
+        checks_kf = (
+            "key_filter semi-join sits below the MOR merge aggregate",
+            agg_at != -1 and "LeftSemi" in kf_plan[agg_at:],
+            "optimized plan: a LeftSemi prints inside the last-wins "
+            "Aggregate's subtree — per-key merge work is O(requested "
+            "keys), not O(touched buckets) (dvx/lake.py read(key_filter=...))",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
     checks: list[tuple[str, bool, str]] = []
     s0 = sections[0][1]
     checks.append(
@@ -130,6 +181,7 @@ def main() -> None:
             "source has no F.broadcast on unbounded relations (dvx/pit.py)",
         )
     )
+    checks.append(checks_kf)
 
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)\n"]
     out.append(f"SF dir: `{sf_dir}`\n")
