@@ -336,6 +336,7 @@ def _apply_satellite(
     # satellite block 4x slower at local[32] than local[8])
     src = cur_tbl.with_bucket(prepared.select(*proj, "ts", "seq"))
     spill_j = None
+    spill_r = None
     try:
         if touched is None:
             touched = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
@@ -409,21 +410,36 @@ def _apply_satellite(
             "ts",
             "seq",
             BUCKET_COL,
-            "_stale",
+            # int-typed so the spill's hive-style partition value ("0"/"1")
+            # round-trips with a stable inferred type
+            F.col("_stale").cast("int").alias("_stale"),
             (F.col("_surv") & F.col("_fresh") & ~noop).alias("_win"),
             nxt.alias("_next_ts"),
         )
         spill_j = _spill_path(vault)
+        # spill PARTITIONED by the stale flag: whether any out-of-order
+        # row exists — and which buckets hold them — is then a driver-side
+        # listdir + a partition-pruned read of the (rare) _stale=1 slice,
+        # not a full extra Spark job over the decisions every batch. In
+        # the near-ordered steady state (_stale=1 absent) the stale check
+        # costs ZERO jobs — one fewer sequential job on the satellite
+        # critical path (guide §2.4 / §1.2: per-batch fixed floor).
         decisions.write.mode("overwrite").option(
             "compression", "snappy"
-        ).parquet(spill_j)
+        ).partitionBy("_stale").parquet(spill_j)
         _mark("spill_decisions")
         decisions = vault.spark.read.parquet(spill_j)
 
-        stale_buckets = sorted(
-            r[0]
-            for r in decisions.filter("_stale").select(BUCKET_COL).distinct().collect()
-        )
+        if os.path.isdir(os.path.join(spill_j, "_stale=1")):
+            stale_buckets = sorted(
+                r[0]
+                for r in decisions.filter("_stale = 1")
+                .select(BUCKET_COL)
+                .distinct()
+                .collect()
+            )
+        else:
+            stale_buckets = []
         _mark("stale_collect")
 
         # Staleness is KEY-granular: windows are per key, so only the
@@ -434,7 +450,7 @@ def _apply_satellite(
         # key's full history in its bucket.) The anti-joins below are
         # free when no stale rows exist, and broadcast-sized otherwise
         # (stale keys are narrow and rare in a near-ordered stream).
-        stale_keys = decisions.filter("_stale").select(key).distinct()
+        stale_keys = decisions.filter("_stale = 1").select(key).distinct()
 
         def anti_stale(df: DataFrame) -> DataFrame:
             return df.join(stale_keys, key, "left_anti") if stale_buckets else df
@@ -641,6 +657,17 @@ def _apply_satellite(
                 ],
                 F.col(BUCKET_COL),
             )
+            # spill the re-chained versions ONCE: re_sat feeds BOTH the
+            # history bucket rewrite and the current-table delta below —
+            # without the spill each write job recomputes the whole
+            # re-chain (two table reads + MOR merge + dedup agg + two
+            # windows) from scratch (guide §1.2: don't compute things
+            # twice; §5 localCheckpoint/materialize shared subtrees)
+            spill_r = _spill_path(vault)
+            re_sat.write.mode("overwrite").option(
+                "compression", "snappy"
+            ).parquet(spill_r)
+            re_sat = vault.spark.read.parquet(spill_r)
             # history bucket rewrite: untouched keys pass through
             # unmodified (one anti-join, no recompute); stale keys get
             # their re-chained ended versions
@@ -675,7 +702,7 @@ def _apply_satellite(
             deltas = {b: round(tb - ta, 2) for (_, ta), (b, tb) in zip(_marks, _marks[1:])}
             print(f"DVX_PROFILE_SAT {spec.name} {deltas}", flush=True)
     finally:
-        for d in (spill_j,):
+        for d in (spill_j, spill_r):
             if d:
                 _shutil.rmtree(d, ignore_errors=True)
 
@@ -744,13 +771,10 @@ def apply_batch(
         first_sat = registry.satellites[0] if registry.satellites else None
         bucket_counts: list[tuple[int, int]] = []
         n = None
-        sat_touched: dict[str, list[int]] = {}
 
         # ONE fused scan job for every bloom-enabled key table: bloom
-        # prune + this batch's segments + per-bucket row counts + the
-        # touched-bucket lists, replacing up to four separate per-batch
-        # jobs (the lineage counts agg, per-table distinct-collects,
-        # per-table bloom scans) — each one pure fixed floor.
+        # prune + this batch's segments, replacing per-table scans —
+        # each extra Spark job is pure per-batch fixed floor.
         scan_specs = [
             (h.name, vault.table(h.name), h.hash_key) for h in registry.hubs
         ] + [
@@ -760,50 +784,26 @@ def apply_batch(
         bloomed = [
             (nm, t, k) for nm, t, k in scan_specs if use_bloom and t.bloom_enabled()
         ]
-        scans = _bloom_scan(prepared, bloomed) if bloomed else {}
-        for nm, _, k in bloomed:
-            sat_touched[nm] = sorted(scans[nm])
-
-        count_src = next(
-            (nm for nm, _, k in bloomed
-             if first_sat is not None and k == first_sat.parent_key),
-            None,
-        )
-        if collect_metrics and first_sat is not None:
-            if count_src is not None:
-                # per-bucket counts fall out of the fused scan (same key
-                # column, same vault-wide bucket function as the sat)
-                bucket_counts = sorted(
-                    (b, cnt) for b, (_, _, cnt) in scans[count_src].items()
-                )
-            else:
-                bucketed = vault.table(first_sat.name).with_bucket(prepared)
-                bucket_counts = [
-                    (r[0], r[1])
-                    for r in bucketed.groupBy(BUCKET_COL).count().collect()
-                ]
-            n = sum(c for _, c in bucket_counts)
-            touched_list = sorted(b for b, c in bucket_counts if c)
-            for s in registry.satellites:
-                if s.parent_key == first_sat.parent_key:
-                    sat_touched[s.name] = touched_list
-        else:
-            n = prepared.count()
-        _pmark("counts")
 
         audit = ["load_date", "record_source"]
         tasks = []
         for h in registry.hubs:
             cols = [h.hash_key, *h.business_keys, *audit]
-            tasks.append(
-                (vault.table(h.name), prepared.select(*cols), h.hash_key, cols,
-                 sat_touched.get(h.name), scans.get(h.name))
-            )
+            tasks.append((vault.table(h.name), h.name, h.hash_key, cols))
         for l in registry.links:
             cols = [l.hash_key, *l.parents, *audit]
-            tasks.append(
-                (vault.table(l.name), prepared.select(*cols), l.hash_key, cols,
-                 sat_touched.get(l.name), scans.get(l.name))
+            tasks.append((vault.table(l.name), l.name, l.hash_key, cols))
+
+        def _count_buckets() -> list[tuple[int, int]]:
+            # per-bucket row counts on the first satellite's bucket
+            # function — serves the lineage metrics AND the satellite /
+            # same-key hub touched-bucket lists in ONE narrow job
+            bucketed = vault.table(first_sat.name).with_bucket(
+                prepared.select(first_sat.parent_key)
+            )
+            return sorted(
+                (r[0], r[1])
+                for r in bucketed.groupBy(BUCKET_COL).count().collect()
             )
 
         if parallel:
@@ -812,6 +812,11 @@ def apply_batch(
             # default pool whose intra-pool scheduling is FIFO — an early
             # hub job would still hog every slot. Distinct on-demand pools
             # (default weight 1) round-robin slots across the merges.
+            # The fused bloom scan and the bucket-count collect run as
+            # concurrent pooled jobs too: the satellite applies (the
+            # critical path) start as soon as the counts land (~sub-second
+            # narrow agg) instead of waiting behind the multi-second scan
+            # that only the hub/link inserts consume (guide §2.6 overlap).
             sc = vault.spark.sparkContext
 
             def _pooled(pool: str, fn, *args):
@@ -826,35 +831,88 @@ def apply_batch(
                         )
                     sc.setLocalProperty("spark.scheduler.pool", None)
 
-            with ThreadPoolExecutor(max_workers=3 + len(registry.satellites)) as ex:
-                futs = [
-                    ex.submit(
-                        _pooled, f"dvx_merge_{os.path.basename(tbl.root)}",
-                        _insert_new_keys, tbl, src, key, cols, epoch_id, stream_id,
-                        summary, touched, scan
+            n_workers = 2 + len(tasks) + len(registry.satellites)
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                fut_scan = (
+                    ex.submit(_pooled, "dvx_merge_scan", _bloom_scan,
+                              prepared, bloomed)
+                    if bloomed
+                    else None
+                )
+                fut_counts = (
+                    ex.submit(_pooled, "dvx_merge_counts", _count_buckets)
+                    if first_sat is not None
+                    else None
+                )
+
+                def _run_sat(s):
+                    touched = None
+                    if fut_counts is not None and s.parent_key == first_sat.parent_key:
+                        touched = [b for b, c in fut_counts.result() if c]
+                    _apply_satellite(
+                        vault, s, prepared, epoch_id, stream_id, summary, touched
                     )
-                    for tbl, src, key, cols, touched, scan in tasks
+
+                def _run_key_table(tbl, nm, key, cols):
+                    scan = (
+                        fut_scan.result().get(nm) if fut_scan is not None else None
+                    )
+                    touched = None
+                    if (
+                        scan is None
+                        and fut_counts is not None
+                        and key == first_sat.parent_key
+                    ):
+                        touched = [b for b, c in fut_counts.result() if c]
+                    _insert_new_keys(
+                        tbl, prepared.select(*cols), key, cols, epoch_id,
+                        stream_id, summary, touched, scan
+                    )
+
+                futs = [
+                    ex.submit(_pooled, f"dvx_merge_{s.name}", _run_sat, s)
+                    for s in registry.satellites
                 ]
                 futs += [
                     ex.submit(
-                        _pooled, f"dvx_merge_{s.name}",
-                        _apply_satellite, vault, s, prepared, epoch_id, stream_id,
-                        summary, sat_touched.get(s.name)
+                        _pooled, f"dvx_merge_{os.path.basename(tbl.root)}",
+                        _run_key_table, tbl, nm, key, cols
                     )
-                    for s in registry.satellites
+                    for tbl, nm, key, cols in tasks
                 ]
                 for f in futs:
                     f.result()
+                if fut_counts is not None:
+                    bucket_counts = fut_counts.result()
+                    n = sum(c for _, c in bucket_counts)
+                else:
+                    n = prepared.count()
             _pmark("merges")
         else:
-            for tbl, src, key, cols, touched, scan in tasks:
+            scans = _bloom_scan(prepared, bloomed) if bloomed else {}
+            if first_sat is not None:
+                bucket_counts = _count_buckets()
+                n = sum(c for _, c in bucket_counts)
+            else:
+                n = prepared.count()
+            touched_list = [b for b, c in bucket_counts if c]
+            for tbl, nm, key, cols in tasks:
+                scan = scans.get(nm)
+                touched = (
+                    touched_list
+                    if scan is None
+                    and first_sat is not None
+                    and key == first_sat.parent_key
+                    else None
+                )
                 _insert_new_keys(
-                    tbl, src, key, cols, epoch_id, stream_id, summary, touched, scan
+                    tbl, prepared.select(*cols), key, cols, epoch_id, stream_id,
+                    summary, touched, scan
                 )
             for s in registry.satellites:
                 _apply_satellite(
                     vault, s, prepared, epoch_id, stream_id, summary,
-                    sat_touched.get(s.name),
+                    touched_list if s.parent_key == first_sat.parent_key else None,
                 )
         if pit_dates:
             # maintain PIT snapshots incrementally while the prepared batch

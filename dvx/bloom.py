@@ -46,19 +46,25 @@ _HEADER = struct.Struct("<4sIQ")  # magic, k, m_bits
 
 
 def _digest_block(keys) -> bytes:
-    """16 bytes per key, concatenated. Fast path: keys that are already
-    32-char hex digests (every dvx hash key) parse directly; anything
-    else gets md5'd. The choice is per-call (homogeneous key format per
-    table), falling back wholesale on the first non-hex key."""
-    keys = ["" if k is None else str(k) for k in keys]
-    try:
-        return b"".join(bytes.fromhex(k) if len(k) == 32 else _raise() for k in keys)
-    except (ValueError, TypeError):
-        return b"".join(hashlib.md5(k.encode("utf-8")).digest() for k in keys)
-
-
-def _raise():
-    raise ValueError
+    """16 bytes per key, concatenated. Fast path: a key that is already a
+    32-char hex digest (every dvx hash key) parses directly; anything
+    else gets md5'd. The choice is PER KEY and deterministic — a given
+    key value always digests the same way regardless of which other keys
+    it is co-batched with. (A wholesale per-call fallback would probe a
+    hex key with md5 when any nullable/non-hex neighbor shares the call
+    but with fromhex otherwise — bloom false negatives = duplicate
+    inserts on the formats the module explicitly supports.)"""
+    out = []
+    for k in keys:
+        k = "" if k is None else str(k)
+        if len(k) == 32:
+            try:
+                out.append(bytes.fromhex(k))
+                continue
+            except ValueError:
+                pass
+        out.append(hashlib.md5(k.encode("utf-8")).digest())
+    return b"".join(out)
 
 
 def _hashes(keys) -> tuple[np.ndarray, np.ndarray]:

@@ -159,6 +159,15 @@ class LakeTable:
             bucket_cols is None or len(bucket_cols) != 1
         ):
             raise ValueError("key_bloom requires exactly one bucket column")
+        if (properties or {}).get("key_bloom") and partition_col:
+            # composite "<partition>|<bucket>" manifest keys would defeat
+            # the bloom scan's plain-bucket key arithmetic (dvx.apply
+            # _bloom_scan int(k) / k.isdigit()), silently classifying
+            # data-bearing buckets as empty — duplicate inserts
+            raise ValueError(
+                "key_bloom is not supported on composite "
+                "(partition_col + bucketed) layouts"
+            )
         os.makedirs(_log_dir(root), exist_ok=True)
         t = cls(spark, root)
         t._commit(
@@ -559,8 +568,13 @@ class LakeTable:
         (table property ``key_bloom``, set for hubs/links — append-only
         key tables whose insert is an existence proof)."""
         m = self.snapshot()
-        return bool(m.get("properties", {}).get("key_bloom")) and (
-            m["num_buckets"] is not None
+        return (
+            bool(m.get("properties", {}).get("key_bloom"))
+            and m["num_buckets"] is not None
+            # composite layouts are rejected at create(); belt-and-braces
+            # for pre-guard tables: their "<part>|<bucket>" keys would
+            # break the bloom scan's plain-bucket arithmetic
+            and not m.get("partition_col")
         )
 
     def bloom_paths(self, version: int | None = None) -> dict[int, list[str]]:
@@ -584,15 +598,21 @@ class LakeTable:
         from dvx import bloom
 
         key_col = m["bucket_cols"][0]
+        # cap: the fallback reads key values driver-side — O(new keys)
+        # driver memory and serial pyarrow reads on the commit path. A
+        # big direct append (initial seed / backfill) skips the build for
+        # oversized buckets (parquet footer row counts only — no data
+        # read), leaving them uncovered = safe plain-read fallback.
+        max_rows = int(os.environ.get("DVX_BLOOM_FALLBACK_MAX_ROWS", "2000000"))
         out = {}
         for k, ps in new_files.items():
+            paths = [os.path.join(self.root, p) for p in ps]
+            n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+            if n_rows > max_rows:
+                continue  # bucket stays uncovered; readers fall back
             vals: list = []
-            for p in ps:
-                vals.extend(
-                    pq.read_table(os.path.join(self.root, p), columns=[key_col])
-                    .column(0)
-                    .to_pylist()
-                )
+            for p in paths:
+                vals.extend(pq.read_table(p, columns=[key_col]).column(0).to_pylist())
             out[k] = bloom.build(vals)
         return out
 
@@ -992,9 +1012,24 @@ class LakeTable:
             if op == "append":
                 # an appended key without a segment breaks the bucket's
                 # completeness invariant — drop that bucket's blooms so
-                # readers fall back to the plain existence read
+                # readers fall back to the plain existence read. A segment
+                # may only ATTACH when coverage stays complete: the bucket
+                # either already had complete coverage (k in blooms) or
+                # holds no pre-existing rows at all (no files AND no
+                # deltas). Without that guard, a bucket invalidated by a
+                # merge/overwrite/unbloomed append would be "resurrected"
+                # by the next bloomed append with a segment covering only
+                # that batch — its older keys covered by no segment, so
+                # redeliveries would probe hits=0 and insert duplicates.
                 for k in new_files:
-                    if bloom_add and k in bloom_add:
+                    never_had_rows = (
+                        k not in m["files"] and k not in m.get("deltas", {})
+                    )
+                    if (
+                        bloom_add
+                        and k in bloom_add
+                        and (k in blooms or never_had_rows)
+                    ):
                         blooms.setdefault(k, []).append(bloom_add[k])
                     else:
                         blooms.pop(k, None)

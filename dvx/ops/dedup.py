@@ -59,22 +59,24 @@ def minhash_signatures(
     sh: DataFrame, num_hashes: int = 8
 ) -> DataFrame:
     """Per-doc MinHash signature: for seed s, min over shingles of
-    md5(s ~ shingle). One groupBy; seeds fan out via a small explode.
-    Output: (doc_id, mh0..mh{n-1}) — string mins, oracle-reproducible."""
-    seeded = sh.select(
+    md5(s ~ shingle). The seeds are computed as ``num_hashes`` COLUMNS of
+    one shingle row (not an explode): the seed fan-out previously
+    multiplied the rows flowing through the projection and the partial
+    aggregate by ``num_hashes`` for the same md5 work — N rows with
+    ``num_hashes`` min-agg columns do strictly less row handling and
+    shuffle the same post-partial-agg bytes (guide §2.3: aggregate before
+    you shuffle; don't explode what a column can carry).
+    Output: (doc_id, mh0..mh{n-1}) — string mins, oracle-reproducible,
+    bit-identical to the exploded form."""
+    hashed = sh.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat_ws("~", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        *[
+            F.md5(F.concat_ws("~", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
-    aggs = [
-        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return seeded.groupBy("doc_id").agg(*aggs)
+    aggs = [F.min(F.col(f"h{i}")).alias(f"mh{i}") for i in range(num_hashes)]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_pairs(
@@ -128,33 +130,24 @@ def simhash(sh_tokens: DataFrame, token_col: str = "shingle") -> DataFrame:
     """32-bit SimHash as a bit string: position p's bit is the majority
     vote of md5(token)'s p-th nibble high bit ('8'..'f' => +1 else -1).
     Pure hex-char comparisons — no hex->int casts, so the DuckDB oracle
-    matches byte-for-byte. Output: (doc_id, simhash string)."""
-    pos = F.explode(F.sequence(F.lit(1), F.lit(32))).alias("pos")
-    voted = (
-        sh_tokens.select("doc_id", F.md5(F.col(token_col)).alias("h"))
-        .select("doc_id", "h", pos)
-        .select(
-            "doc_id",
-            "pos",
-            F.when(F.substring(F.col("h"), F.col("pos"), 1) >= "8", 1)
-            .otherwise(-1)
-            .alias("vote"),
-        )
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("vote").alias("v"))
-    )
-    bits = voted.select(
-        "doc_id",
-        "pos",
-        F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
-    )
-    return bits.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "bit"))), lambda x: x["bit"]
-            ),
-            "",
-        ).alias("simhash")
+    matches byte-for-byte. Output: (doc_id, simhash string).
+
+    The 32 positions are 32 sum-agg COLUMNS over one token row, not a
+    32-way explode: the previous shape pushed 32x the rows through two
+    groupBys plus a collect_list sort per doc; one groupBy with 32
+    map-side-combining sums computes the identical votes (guide §2.3/§2.4:
+    same aggregate, one exchange, no row multiplication)."""
+    hx = sh_tokens.select("doc_id", F.md5(F.col(token_col)).alias("h"))
+    vote_aggs = [
+        F.sum(
+            F.when(F.substring(F.col("h"), p, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"v{p}")
+        for p in range(1, 33)
+    ]
+    voted = hx.groupBy("doc_id").agg(*vote_aggs)
+    bit = lambda p: F.when(F.col(f"v{p}") > 0, F.lit("1")).otherwise(F.lit("0"))  # noqa: E731
+    return voted.select(
+        "doc_id", F.concat(*[bit(p) for p in range(1, 33)]).alias("simhash")
     )
 
 

@@ -40,36 +40,37 @@ def _pit_frame(vault: Vault, snapshot_date: str, sat: DataFrame) -> DataFrame:
     """hub ⋈ latest-sat-version-as-of-date, projected to the PIT schema."""
     asof_end = F.to_timestamp(F.lit(snapshot_date + " 23:59:59"))
     asof = sat.filter(F.col("valid_from") <= asof_end)  # P3
-    # W1 on NARROW columns: a window would sort full-width text rows; a
-    # two-phase groupBy max on (key, valid_from, src_seq) is map-side-
-    # combining and ~100B/row, and the winners come back via a hashed
-    # semi-join (shuffle_hash: the winner set is one narrow row per key —
-    # sort-merge would re-sort the text rows we just avoided sorting)
-    top = (
-        asof.select("turn_hash_key", "valid_from", "src_seq")
-        .groupBy("turn_hash_key")
-        .agg(F.max(F.struct("valid_from", "src_seq")).alias("_m"))
+    # W1 as ONE map-side-combining aggregate: max over a struct ordered
+    # (valid_from, src_seq, <remaining columns>) picks the same as-of
+    # winner per key that the previous three-step pipeline (narrow top
+    # agg -> shuffle_hash semi-join -> one-row-per-key guard agg) picked,
+    # in a single exchange instead of three (guide §2.4: remove shuffles
+    # outright; §2.3 aggregate before you shuffle). The partial aggregate
+    # collapses to at most one row per key per map partition before the
+    # shuffle, so full-width rows cross the wire once — the old shape
+    # ALSO shuffled full width twice (the semi-join probe and the guard
+    # agg), so this is strictly fewer bytes and two fewer exchanges.
+    # The one-row-per-key invariant under anomalous duplicate-version
+    # state is preserved (max is deterministic; ties on (valid_from,
+    # src_seq) break on the remaining columns in order); tombstoned
+    # winners drop out after the agg exactly as they dropped out after
+    # the semi-join — a crash-window duplicate of a version shares its
+    # is_deleted value, so filter placement cannot flip the outcome.
+    others = [
+        c for c in asof.columns
+        if c not in ("turn_hash_key", "valid_from", "src_seq")
+    ]
+    _payload = F.struct(
+        F.col("valid_from"), F.col("src_seq"), *[F.col(c) for c in others]
+    )
+    latest = (
+        asof.groupBy("turn_hash_key")
+        .agg(F.max(_payload).alias("_r"))
         .select(
             "turn_hash_key",
-            F.col("_m.valid_from").alias("valid_from"),
-            F.col("_m.src_seq").alias("src_seq"),
+            *[F.col(f"_r.{c}").alias(c) for c in ["valid_from", "src_seq", *others]],
         )
-        .hint("shuffle_hash")
-    )
-    latest = asof.join(
-        top, ["turn_hash_key", "valid_from", "src_seq"], "left_semi"
-    ).filter(F.col("is_deleted").isNull())  # tombstoned keys drop out
-    # one-row-per-key guard: if anomalous satellite state ever holds two
-    # rows with the same (key, valid_from, src_seq) — e.g. a crash window
-    # where a displaced copy reached history before current was replaced —
-    # the semi-join passes both. A deterministic full-row max per key
-    # restores the invariant; on healthy state this agg is one row in/out
-    # per key and the following hub join reuses its key clustering.
-    _payload = F.struct(*[F.col(c) for c in latest.columns])
-    latest = (
-        latest.groupBy("turn_hash_key")
-        .agg(F.max(_payload).alias("_r"))
-        .select("_r.*")
+        .filter(F.col("is_deleted").isNull())  # tombstoned keys drop out
     )
     hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
     attrs = [c for c in latest.columns if c not in _ATTR_EXCLUDE]

@@ -176,6 +176,80 @@ def test_expire_snapshots_keeps_live_bloom_segments(spark, hub):
     assert hub.read().count() == 250
 
 
+def test_no_bloom_resurrection_after_invalidation(spark, hub):
+    """ADVICE r5 (high): once a bucket's blooms are invalidated, a later
+    bloomed append must NOT re-attach coverage — its segment covers only
+    that batch, so the bucket's older keys would probe hits=0 and
+    redeliveries would insert duplicates."""
+    names = [f"c{i}" for i in range(100)]
+    _insert_new_keys(hub, _keys_df(spark, names), "conv_hash_key", COLS,
+                     None, "default", None)
+    touched = sorted(int(k) for k in hub.snapshot()["files"])
+    hub.replace_buckets(touched, hub.read())  # drops bloom coverage
+    assert not hub.bloom_paths()
+    # bloomed append of brand-new keys: buckets with pre-existing rows
+    # must stay uncovered (segment covers only the new batch)
+    _insert_new_keys(hub, _keys_df(spark, [f"n{i}" for i in range(100)]),
+                     "conv_hash_key", COLS, None, "default", None)
+    covered = set(hub.bloom_paths())
+    data_buckets = {int(k) for k in hub.snapshot()["files"]}
+    assert not (covered & set(touched))
+    assert covered <= data_buckets
+    # redeliver the ORIGINAL keys: must dedup via the plain read path
+    _insert_new_keys(hub, _keys_df(spark, names), "conv_hash_key", COLS,
+                     None, "default", None)
+    df = hub.read()
+    assert df.count() == 200
+    assert df.select("conv_hash_key").distinct().count() == 200
+
+
+def test_digest_choice_is_per_key():
+    """ADVICE r5 (medium): a key's digest must not depend on which other
+    keys share the _digest_block call (mixed hex / non-hex / None)."""
+    hexk = _md5("stable")
+    mixed_seg = bloom.build([hexk, "conv-1", None, "short"])
+    # probed alone (homogeneous hex call), the key must still be found
+    assert bool(bloom.contains_any([mixed_seg], [hexk]).all())
+    homo_seg = bloom.build([hexk])
+    assert bool(bloom.contains_any([homo_seg], [hexk, "conv-1", None][0:1]).all())
+    # and a non-hex key built alongside hex neighbors is found too
+    assert bool(bloom.contains_any([mixed_seg], ["conv-1"]).all())
+    # 32-char non-hex strings md5-fallback deterministically
+    odd = "z" * 32
+    seg = bloom.build([odd, hexk])
+    assert bool(bloom.contains_any([seg], [odd]).all())
+
+
+def test_create_rejects_composite_key_bloom(spark, tmp_path):
+    """ADVICE r5 (low): composite (partition+bucket) manifests would break
+    the bloom scan's plain-bucket key arithmetic — refuse at create()."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("k", StringType()), StructField("d", StringType()),
+    ])
+    with pytest.raises(ValueError, match="composite"):
+        LakeTable.create(
+            spark, str(tmp_path / "t"), schema,
+            num_buckets=4, bucket_cols=["k"], partition_col="d",
+            properties={"key_bloom": True},
+        )
+
+
+def test_segment_fallback_cap_leaves_bucket_uncovered(spark, hub, monkeypatch):
+    """ADVICE r5 (low): a big direct append skips the driver-side segment
+    build (row-count cap) — bucket stays uncovered, reads stay correct."""
+    monkeypatch.setenv("DVX_BLOOM_FALLBACK_MAX_ROWS", "3")
+    hub.append(_keys_df(spark, [f"z{i}" for i in range(64)]))
+    assert not hub.bloom_paths()  # every bucket exceeded the cap
+    # inserts afterwards fall back to the plain existence read and dedup
+    _insert_new_keys(hub, _keys_df(spark, [f"z{i}" for i in range(64)]),
+                     "conv_hash_key", COLS, None, "default", None)
+    df = hub.read()
+    assert df.count() == 64
+    assert df.select("conv_hash_key").distinct().count() == 64
+
+
 def test_np_uint8_shift_semantics():
     """Pin the numpy ops bloom.build relies on (uint8 shift stays uint8)."""
     pos = np.array([0, 7, 8, 15], dtype=np.uint64)
