@@ -554,8 +554,10 @@ def _apply_satellite(
                     sc.setLocalProperty("spark.scheduler.pool", None)
 
             with _TPE(max_workers=2) as ex2:
-                fh = ex2.submit(_staged, f"dvx_w_{spec.hist_name}", hist_tbl, hist_rows)
-                fd = ex2.submit(_staged, f"dvx_w_{spec.name}", cur_tbl, delta_rows)
+                # both staged writes ARE the critical path — keep them in
+                # the weighted pool (intra-pool FAIR shares between them)
+                fh = ex2.submit(_staged, "dvx_critical", hist_tbl, hist_rows)
+                fd = ex2.submit(_staged, "dvx_critical", cur_tbl, delta_rows)
                 sh, sd = fh.result(), fd.result()
             try:
                 hist_tbl.commit_staged(sh, "append", summary=summary)
@@ -613,12 +615,33 @@ def _apply_satellite(
             inc_re = src.join(stale_keys, key, "left_semi").select(
                 F.col(key), "ts", "seq", *attr_cols, F.col(BUCKET_COL)
             )
-            # read only the stale buckets (manifest file pruning), then
-            # restrict to the stale KEYS: the expensive dedup + window
-            # recompute below runs over O(stale keys' history), not the
-            # whole bucket's
-            hist_stale = hist_tbl.with_bucket(hist_tbl.read(buckets=stale_buckets))
-            hist_re = as_version(hist_stale.join(stale_keys, key, "left_semi"))
+            # equality-delete splice (default): history write IO for the
+            # re-chain is O(stale keys' versions) — a per-key tombstone +
+            # append in one atomic commit (lake.delete_keys_insert) —
+            # instead of rewriting every stale BUCKET (O(touched
+            # buckets) read+write per stale batch; guide §1.2: the
+            # distributed algorithm first). DVX_HIST_EQ_DELETE=0 falls
+            # back to the bucket-rewrite path (A/B lever).
+            use_eq = os.environ.get("DVX_HIST_EQ_DELETE", "1") != "0"
+            hist_stale = None
+            if use_eq:
+                # key-filtered read: the re-chain consumes only the stale
+                # keys' history — no full-bucket passthrough needed when
+                # nothing is rewritten
+                hist_re = as_version(
+                    hist_tbl.with_bucket(
+                        hist_tbl.read(buckets=stale_buckets, key_filter=stale_keys)
+                    )
+                )
+            else:
+                # read only the stale buckets (manifest file pruning),
+                # then restrict to the stale KEYS: the expensive dedup +
+                # window recompute below runs over O(stale keys'
+                # history), not the whole bucket's
+                hist_stale = hist_tbl.with_bucket(
+                    hist_tbl.read(buckets=stale_buckets)
+                )
+                hist_re = as_version(hist_stale.join(stale_keys, key, "left_semi"))
             # key_filter pushes the stale-key semi below the MOR merge:
             # the re-chain's current read pays the last-wins agg over the
             # stale KEYS' rows only (hist_stale stays a full-bucket read —
@@ -668,15 +691,26 @@ def _apply_satellite(
                 "compression", "snappy"
             ).parquet(spill_r)
             re_sat = vault.spark.read.parquet(spill_r)
-            # history bucket rewrite: untouched keys pass through
-            # unmodified (one anti-join, no recompute); stale keys get
-            # their re-chained ended versions
-            new_hist = (
-                hist_stale.select(*sat_cols, BUCKET_COL)
-                .join(stale_keys, key, "left_anti")
-                .unionByName(re_sat.filter(F.col("valid_to").isNotNull()))
-            )
-            hist_tbl.replace_buckets(stale_buckets, new_hist, summary=summary)
+            if use_eq:
+                # atomic splice: tombstone the stale keys' old history
+                # rows, append their re-chained ended versions. Re-running
+                # converges — the newer tombstone also covers the previous
+                # attempt's inserts.
+                hist_tbl.delete_keys_insert(
+                    stale_keys,
+                    re_sat.filter(F.col("valid_to").isNotNull()),
+                    summary=summary,
+                )
+            else:
+                # history bucket rewrite: untouched keys pass through
+                # unmodified (one anti-join, no recompute); stale keys get
+                # their re-chained ended versions
+                new_hist = (
+                    hist_stale.select(*sat_cols, BUCKET_COL)
+                    .join(stale_keys, key, "left_anti")
+                    .unionByName(re_sat.filter(F.col("valid_to").isNotNull()))
+                )
+                hist_tbl.replace_buckets(stale_buckets, new_hist, summary=summary)
             re_current = re_sat.filter(F.col("valid_to").isNull())
 
         # ---- current-table apply: merge-on-read ----
@@ -819,28 +853,27 @@ def apply_batch(
             # that only the hub/link inserts consume (guide §2.6 overlap).
             sc = vault.spark.sparkContext
 
-            def _pooled(pool: str, fn, *args):
+            def _pooled(pool: str, label: str, fn, *args):
                 sc.setLocalProperty("spark.scheduler.pool", pool)
                 _tt0 = _time.time()
                 try:
                     return fn(*args)
                 finally:
                     if _prof:  # per-task walls (overlapping — attribution only)
-                        _pts[f"t_{pool.removeprefix('dvx_merge_')}"] = round(
-                            _time.time() - _tt0, 2
-                        )
+                        _pts[f"t_{label}"] = round(_time.time() - _tt0, 2)
                     sc.setLocalProperty("spark.scheduler.pool", None)
 
             n_workers = 2 + len(tasks) + len(registry.satellites)
             with ThreadPoolExecutor(max_workers=n_workers) as ex:
                 fut_scan = (
-                    ex.submit(_pooled, "dvx_merge_scan", _bloom_scan,
+                    ex.submit(_pooled, "dvx_merge_scan", "scan", _bloom_scan,
                               prepared, bloomed)
                     if bloomed
                     else None
                 )
                 fut_counts = (
-                    ex.submit(_pooled, "dvx_merge_counts", _count_buckets)
+                    ex.submit(_pooled, "dvx_merge_counts", "counts",
+                              _count_buckets)
                     if first_sat is not None
                     else None
                 )
@@ -870,13 +903,18 @@ def apply_batch(
                     )
 
                 futs = [
-                    ex.submit(_pooled, f"dvx_merge_{s.name}", _run_sat, s)
+                    # the satellite applies are the critical path of the
+                    # batch: the weighted `dvx_critical` pool (dvx.session
+                    # _alloc_file) gives them most task slots; hub/link/
+                    # scan backfill (guide §2.6)
+                    ex.submit(_pooled, "dvx_critical", s.name, _run_sat, s)
                     for s in registry.satellites
                 ]
                 futs += [
                     ex.submit(
                         _pooled, f"dvx_merge_{os.path.basename(tbl.root)}",
-                        _run_key_table, tbl, nm, key, cols
+                        os.path.basename(tbl.root), _run_key_table,
+                        tbl, nm, key, cols
                     )
                     for tbl, nm, key, cols in tasks
                 ]

@@ -62,32 +62,33 @@ def build_dims(vault: Vault) -> dict[str, DataFrame]:
 def live_turns_asof(vault: Vault, ts: str) -> DataFrame:
     """Current live turns as of timestamp ``ts`` (P3 + W1 over the full
     satellite history, tombstones dropped) joined to hub_turn — the gold
-    layer's source frame for point-in-time dimension builds. The W1 pick
-    runs on narrow columns (groupBy max + hashed semi-join) so the text
-    column never sorts — same shape as dvx.pit._pit_frame."""
+    layer's source frame for point-in-time dimension builds.
+
+    The W1 pick is ONE map-side-combining aggregate (same round-6 shape
+    as dvx.pit._pit_frame — guide §2.4): max over a struct ordered
+    (valid_from, src_seq, <rest>) picks the identical as-of winner the
+    previous narrow-agg + shuffle_hash semi-join + guard-agg pipeline
+    picked, in a single exchange; the partial aggregate collapses to ≤1
+    row/key/partition before the shuffle. One-row-per-key stays
+    deterministic on anomalous duplicate-version state (ties break on
+    the remaining columns in order), and the tombstone filter after the
+    agg drops the same keys the semi-join variant dropped."""
     sat = vault.sat_all().filter(F.col("valid_from") <= F.to_timestamp(F.lit(ts)))
-    top = (
-        sat.select("turn_hash_key", "valid_from", "src_seq")
-        .groupBy("turn_hash_key")
-        .agg(F.max(F.struct("valid_from", "src_seq")).alias("_m"))
+    others = [
+        c for c in sat.columns
+        if c not in ("turn_hash_key", "valid_from", "src_seq")
+    ]
+    _payload = F.struct(
+        F.col("valid_from"), F.col("src_seq"), *[F.col(c) for c in others]
+    )
+    latest = (
+        sat.groupBy("turn_hash_key")
+        .agg(F.max(_payload).alias("_r"))
         .select(
             "turn_hash_key",
-            F.col("_m.valid_from").alias("valid_from"),
-            F.col("_m.src_seq").alias("src_seq"),
+            *[F.col(f"_r.{c}").alias(c) for c in ["valid_from", "src_seq", *others]],
         )
-        .hint("shuffle_hash")
-    )
-    latest = sat.join(
-        top, ["turn_hash_key", "valid_from", "src_seq"], "left_semi"
-    ).filter(F.col("is_deleted").isNull())
-    # one-row-per-key guard (same rationale as dvx.pit._pit_frame): a
-    # deterministic full-row max per key keeps the frame one-row-per-key
-    # even on anomalous satellite state with duplicated triples
-    _payload = F.struct(*[F.col(c) for c in latest.columns])
-    latest = (
-        latest.groupBy("turn_hash_key")
-        .agg(F.max(_payload).alias("_r"))
-        .select("_r.*")
+        .filter(F.col("is_deleted").isNull())
     )
     hub = vault.hub_turn.read().select("turn_hash_key", "conv_id", "turn_idx")
     return latest.join(hub, "turn_hash_key")

@@ -230,17 +230,24 @@ class LakeTable:
             for k in m.get("blooms_drop", []):
                 blooms.pop(k, None)
             blooms.update(m.get("blooms_set", {}))
+            tombs = dict(base.get("tombstones", {}))
+            for k in m.get("tombstones_drop", []):
+                tombs.pop(k, None)
+            tombs.update(m.get("tombstones_set", {}))
             m = {
                 k: val for k, val in m.items()
                 if k not in ("files_set", "files_drop", "deltas_set",
                              "deltas_drop", "blooms_set", "blooms_drop",
+                             "tombstones_set", "tombstones_drop",
                              "delta_base")
             }
             m["files"] = files
             m["deltas"] = deltas
             m["blooms"] = blooms
+            m["tombstones"] = tombs
         m.setdefault("deltas", {})
         m.setdefault("blooms", {})
+        m.setdefault("tombstones", {})
         if len(_SNAP_CACHE) > 512:
             _SNAP_CACHE.clear()
         _SNAP_CACHE[key] = m
@@ -334,6 +341,13 @@ class LakeTable:
         keys' rows). This is what keeps the per-micro-batch satellite
         apply O(batch), not O(table): the batch's key set is a vanishing
         fraction of a grown table's buckets.
+
+        Buckets carrying equality-delete TOMBSTONES
+        (:meth:`delete_keys_insert`) resolve them at read time: a data
+        row is dropped when its commit version is older than the newest
+        tombstone covering its key. Only tombstone-carrying buckets pay
+        the (narrow, hashed) resolution join;
+        :meth:`compact_tombstones` folds them away.
         """
         m = self.snapshot(version)
         if key_filter is not None and not m["bucket_cols"]:
@@ -343,6 +357,7 @@ class LakeTable:
             want = set(columns) | set(m["bucket_cols"] or [])
             schema = StructType([f for f in schema.fields if f.name in want])
         delta_map = m.get("deltas", {})
+        tomb_map = m.get("tombstones", {})
         live = set(m["files"].keys()) | set(delta_map.keys())
         composite = _is_composite(m)
         if buckets is not None:
@@ -355,11 +370,21 @@ class LakeTable:
             want = set(map(str, keys))
             live = {k for k in live if k in want}
         keys = live
-        plain_keys = [k for k in keys if not delta_map.get(k)]
+        plain_keys = [
+            k for k in keys if not delta_map.get(k) and not tomb_map.get(k)
+        ]
+        tomb_keys = sorted(
+            k for k in keys if tomb_map.get(k) and not delta_map.get(k)
+        )
         mor_keys = sorted(k for k in keys if delta_map.get(k))
         plain_files = [
             os.path.join(self.root, p)
             for k in plain_keys
+            for p in m["files"].get(k, [])
+        ]
+        tomb_data_files = [
+            os.path.join(self.root, p)
+            for k in tomb_keys
             for p in m["files"].get(k, [])
         ]
         mor_files = [
@@ -367,59 +392,97 @@ class LakeTable:
             for k in mor_keys
             for p in [*m["files"].get(k, []), *delta_map[k]]
         ]
-        if not plain_files and not mor_files:
+        if not plain_files and not tomb_data_files and not mor_files:
             return self.spark.createDataFrame([], schema)
+
+        key_cols = m["bucket_cols"]
 
         def _keep(df: DataFrame) -> DataFrame:
             if key_filter is None:
                 return df
-            kc = m["bucket_cols"]
-            kf = key_filter.select(*kc).distinct()
+            kf = key_filter.select(*key_cols).distinct()
             # shuffle_hash on the key side: hashing a narrow key set
             # never sort-merge-sorts the wide table rows, and AQE still
             # converts to broadcast at runtime when the key set is
             # actually small (a forced broadcast would make the driver
             # build an O(batch-keys) relation every micro-batch — a
             # fixed, non-scaling cost and an OOM hazard at big batches).
-            return df.join(kf.hint("shuffle_hash"), kc, "left_semi")
+            return df.join(kf.hint("shuffle_hash"), key_cols, "left_semi")
 
-        plain = (
-            _keep(self.spark.read.schema(schema).parquet(*plain_files))
-            if plain_files
-            else None
-        )
-        if not mor_files:
-            return plain
-        # merge-on-read (only the delta-carrying buckets pay it): delta
-        # files hold last-wins upserts keyed on the bucket cols (at most
-        # one row per key per delta commit — the upsert_delta caller
-        # contract). The winning row per key is the one from the highest
-        # commit, recovered from the file path (data/c<version>/...) —
-        # no per-row version column is stored. Ties (same commit) break
-        # on the full row struct, so the merge is deterministic. This
-        # per-key agg is the read-side price of O(new rows) write IO per
-        # batch; compact_deltas() folds deltas back into the base to
-        # bound the number of files it spans.
-        raw = self.spark.read.schema(schema).parquet(*mor_files)
-        cols = raw.columns
-        # project the commit version out of the file path first:
-        # input_file_name() is non-deterministic, so it must live in a
-        # Project below the Aggregate, not inside the agg expression —
-        # and below the key_filter semi-join too (with two file sources
-        # in the plan, input_file_name() is ambiguous and rejected)
-        df = raw.withColumn(
-            "_cv",
-            F.regexp_extract(F.input_file_name(), r"data/c(\d+)[-/]", 1).cast("long"),
-        )
-        df = _keep(df)
-        ordered = F.struct(F.col("_cv"), *[F.col(c) for c in cols])
-        key_cols = m["bucket_cols"]
-        merged = (
-            df.groupBy(*[F.col(c) for c in key_cols])
-            .agg(F.max(ordered).alias("_m"))
-            .select(*[F.col(f"_m.{c}").alias(c) for c in cols])
-        )
-        return merged if plain is None else plain.unionByName(merged)
+        def _cv(df: DataFrame) -> DataFrame:
+            # project the commit version out of the file path: it is
+            # non-deterministic, so it must live in a Project directly
+            # above its OWN scan — below any join/aggregate
+            return df.withColumn(
+                "_cv",
+                F.regexp_extract(
+                    F.input_file_name(), r"data/c(\d+)[-/]", 1
+                ).cast("long"),
+            )
+
+        def _untomb(df: DataFrame, klist: list[str]) -> DataFrame:
+            """Equality-delete resolution: drop rows whose key has a
+            NEWER tombstone than the row's commit (rows written in the
+            tombstone's own commit survive). ``df`` must carry _cv; the
+            tombstone commit version is a stored column (_tcv), not a
+            path derivation — two input_file_name sources in one plan
+            are ambiguous."""
+            from pyspark.sql.types import LongType, StructField
+
+            tpaths = [
+                os.path.join(self.root, p)
+                for k in klist
+                for p in tomb_map.get(k, [])
+            ]
+            tschema = StructType(
+                [f for f in StructType.fromJson(m["schema"]).fields
+                 if f.name in key_cols]
+                + [StructField("_tcv", LongType())]
+            )
+            t = (
+                self.spark.read.schema(tschema).parquet(*tpaths)
+                .groupBy(*key_cols)
+                .agg(F.max("_tcv").alias("_tcv"))
+            )
+            j = df.join(t.hint("shuffle_hash"), key_cols, "left")
+            return j.filter(
+                F.col("_tcv").isNull() | (F.col("_cv") >= F.col("_tcv"))
+            ).drop("_tcv")
+
+        parts: list[DataFrame] = []
+        if plain_files:
+            parts.append(_keep(self.spark.read.schema(schema).parquet(*plain_files)))
+        if tomb_data_files:
+            df = _keep(_cv(self.spark.read.schema(schema).parquet(*tomb_data_files)))
+            parts.append(_untomb(df, tomb_keys).drop("_cv"))
+        if mor_files:
+            # merge-on-read (only the delta-carrying buckets pay it):
+            # delta files hold last-wins upserts keyed on the bucket cols
+            # (at most one row per key per delta commit — the
+            # upsert_delta caller contract). The winning row per key is
+            # the one from the highest commit, recovered from the file
+            # path (data/c<version>/...). Ties (same commit) break on the
+            # full row struct, so the merge is deterministic. This
+            # per-key agg is the read-side price of O(new rows) write IO
+            # per batch; compact_deltas() folds deltas back into the
+            # base to bound the number of files it spans.
+            raw = self.spark.read.schema(schema).parquet(*mor_files)
+            cols = raw.columns
+            df = _keep(_cv(raw))
+            mor_tombed = [k for k in mor_keys if tomb_map.get(k)]
+            if mor_tombed:
+                df = _untomb(df, mor_tombed)
+            ordered = F.struct(F.col("_cv"), *[F.col(c) for c in cols])
+            merged = (
+                df.groupBy(*[F.col(c) for c in key_cols])
+                .agg(F.max(ordered).alias("_m"))
+                .select(*[F.col(f"_m.{c}").alias(c) for c in cols])
+            )
+            parts.append(merged)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # --------------------------------------------------------------- writes
 
@@ -844,6 +907,81 @@ class LakeTable:
                 self._drop_attempt(commit_rel)
                 continue
 
+    def delete_keys_insert(
+        self, keys: DataFrame, rows: DataFrame, summary: dict | None = None
+    ) -> int:
+        """Equality-delete + append in ONE atomic commit (the Iceberg
+        format-v2 equality-delete analog): every pre-existing row whose
+        key appears in ``keys`` is dropped at read time (its commit
+        version is older than this commit's tombstone), and ``rows``
+        are appended as this commit's data files. Write IO is
+        O(len(keys) + len(rows)) — no bucket is rewritten; readers pay a
+        narrow hashed resolution join on the touched buckets until
+        :meth:`compact_tombstones` folds them.
+
+        This is the splice primitive for out-of-order SCD2 re-chains:
+        the caller passes the re-chained keys and their full replacement
+        version rows. Re-running the same splice converges — the newer
+        tombstone also covers the previous run's inserted rows.
+
+        Restricted to plain bucketed tables (no partition_col) without
+        key blooms (tombstones would break bloom completeness).
+        """
+        while True:
+            v = self.version()
+            m = self.snapshot(v)
+            if m["num_buckets"] is None or m.get("partition_col"):
+                raise ValueError(
+                    "delete_keys_insert requires a plain bucketed table"
+                )
+            if m.get("properties", {}).get("key_bloom"):
+                raise ValueError(
+                    "delete_keys_insert is not supported on key_bloom "
+                    "tables (deletes break segment completeness)"
+                )
+            key_cols = m["bucket_cols"]
+            new_files, commit_rel = self._write_files(
+                self._schema_aligned(rows, m), m, v + 1
+            )
+            # tombstone key files: (key cols, _tcv = this commit) in a
+            # sibling attempt dir; _tcv is a stored column so the read
+            # side never needs a second input_file_name derivation
+            kdf = keys.select(*key_cols).distinct().withColumn(
+                "_tcv", F.lit(v + 1).cast("long")
+            )
+            tomb_files, tomb_rel = self._write_files(kdf, m, v + 1)
+            files = {k: list(ps) for k, ps in m["files"].items()}
+            for k, ps in new_files.items():
+                files.setdefault(k, []).extend(ps)
+            tombs = {k: list(ps) for k, ps in m.get("tombstones", {}).items()}
+            for k, ps in tomb_files.items():
+                tombs.setdefault(k, []).extend(ps)
+            try:
+                return self._commit_next(
+                    m, v, "delete_insert", files, new_files, summary,
+                    tombstones=tombs,
+                )
+            except CommitConflict:
+                self._drop_attempt(commit_rel)
+                self._drop_attempt(tomb_rel)
+                continue
+
+    def compact_tombstones(self) -> int:
+        """Fold equality-delete tombstones: rewrite ONLY the buckets that
+        carry them (the read resolves the deletes), clearing their
+        tombstone lists so serving reads revert to plain scans with
+        pushdown. Returns the number of buckets folded."""
+        v = self.version()
+        m = self.snapshot(v)
+        fat = sorted(k for k, ps in m.get("tombstones", {}).items() if ps)
+        if not fat:
+            return 0
+        self.replace_buckets(
+            fat, self.read(v, keys=fat),
+            summary={"compacted_tombstone_buckets": len(fat)},
+        )
+        return len(fat)
+
     def stage_write(self, df: DataFrame) -> dict:
         """Run ONLY the heavy data-file write job of an append /
         upsert_delta now; publish later with :meth:`commit_staged`.
@@ -949,14 +1087,20 @@ class LakeTable:
                     if _bucket_of(k, _is_composite(m)) not in tset
                 }
                 files.update(new_files)
-                # replacement contents supersede any pending deltas
+                # replacement contents supersede any pending deltas and
+                # equality-delete tombstones
                 deltas = {
                     k: ps for k, ps in m.get("deltas", {}).items()
                     if _bucket_of(k, _is_composite(m)) not in tset
                 }
+                tombs = {
+                    k: ps for k, ps in m.get("tombstones", {}).items()
+                    if _bucket_of(k, _is_composite(m)) not in tset
+                }
                 try:
                     return self._commit_next(
-                        m, v, "merge", files, new_files, summary, deltas=deltas
+                        m, v, "merge", files, new_files, summary,
+                        deltas=deltas, tombstones=tombs,
                     )
                 except CommitConflict:
                     self._drop_attempt(commit_rel)
@@ -991,22 +1135,30 @@ class LakeTable:
             tset = {str(t) for t in touched}
             files = {k: ps for k, ps in m["files"].items() if k not in tset}
             files.update(new_files)
-            # replacement contents supersede any pending deltas
+            # replacement contents supersede any pending deltas and
+            # equality-delete tombstones
             deltas = {
                 k: ps for k, ps in m.get("deltas", {}).items() if k not in tset
             }
+            tombs = {
+                k: ps for k, ps in m.get("tombstones", {}).items()
+                if k not in tset
+            }
             try:
                 return self._commit_next(
-                    m, v, "merge", files, new_files, summary, deltas=deltas
+                    m, v, "merge", files, new_files, summary,
+                    deltas=deltas, tombstones=tombs,
                 )
             except CommitConflict:
                 self._drop_attempt(commit_rel)
                 continue
 
     def _commit_next(self, m, v, op, files, new_files, summary, deltas=None,
-                     bloom_add=None):
+                     bloom_add=None, tombstones=None):
         if deltas is None:
             deltas = m.get("deltas", {})
+        if tombstones is None:
+            tombstones = m.get("tombstones", {})
         blooms = {k: list(ps) for k, ps in m.get("blooms", {}).items()}
         if m.get("properties", {}).get("key_bloom") and m["num_buckets"] is not None:
             if op == "append":
@@ -1052,6 +1204,8 @@ class LakeTable:
         s["added_files"] = sum(len(p) for p in new_files.values())
         s["total_files"] = sum(len(p) for p in files.values())
         s["total_delta_files"] = sum(len(p) for p in deltas.values())
+        if tombstones:
+            s["total_tombstone_files"] = sum(len(p) for p in tombstones.values())
         manifest = {
             "operation": op,
             "schema": m["schema"],
@@ -1065,6 +1219,7 @@ class LakeTable:
             manifest["files"] = files  # checkpoint: full map
             manifest["deltas"] = deltas
             manifest["blooms"] = blooms
+            manifest["tombstones"] = tombstones
         else:
             old = m["files"]
             manifest["delta_base"] = v
@@ -1082,6 +1237,13 @@ class LakeTable:
                 k: ps for k, ps in blooms.items() if old_b.get(k) != ps
             }
             manifest["blooms_drop"] = [k for k in old_b if k not in blooms]
+            old_t = m.get("tombstones", {})
+            manifest["tombstones_set"] = {
+                k: ps for k, ps in tombstones.items() if old_t.get(k) != ps
+            }
+            manifest["tombstones_drop"] = [
+                k for k in old_t if k not in tombstones
+            ]
         return self._commit(v, manifest)
 
     # ----------------------------------------------------- exactly-once API
@@ -1152,6 +1314,11 @@ class LakeTable:
             raise ValueError(
                 f"publish_mirror on {self.root}: pending MOR delta files; "
                 "run compact_deltas(max_delta_files=1) first"
+            )
+        if any(m.get("tombstones", {}).values()):
+            raise ValueError(
+                f"publish_mirror on {self.root}: pending equality-delete "
+                "tombstones; run compact_tombstones() first"
             )
         os.makedirs(dest, exist_ok=True)
         for fn in os.listdir(dest):
@@ -1228,6 +1395,8 @@ class LakeTable:
                 live.update(ps)
             for ps in snap.get("blooms", {}).values():
                 live.update(ps)
+            for ps in snap.get("tombstones", {}).values():
+                live.update(ps)
         # the oldest retained manifest may be a delta whose base is about
         # to be expired: rewrite it as a checkpoint (resolved full map)
         # so the retained chain stays self-contained
@@ -1248,6 +1417,7 @@ class LakeTable:
                 list(snap["files"].values())
                 + list(snap.get("deltas", {}).values())
                 + list(snap.get("blooms", {}).values())
+                + list(snap.get("tombstones", {}).values())
             )
             for ps in refs:
                 for p in ps:
@@ -1267,9 +1437,11 @@ class LakeTable:
             v = self.version()
             m = self.snapshot(v)
             delta_map = m.get("deltas", {})
+            tomb_map = m.get("tombstones", {})
             fat = sorted(
                 {k for k, ps in m["files"].items() if len(ps) > max_files_per_key}
                 | {k for k, ps in delta_map.items() if ps}
+                | {k for k, ps in tomb_map.items() if ps}
             )
             if not fat:
                 return v
@@ -1286,9 +1458,11 @@ class LakeTable:
             files = {k: ps for k, ps in m["files"].items() if k not in fat}
             files.update(new_files)
             deltas = {k: ps for k, ps in delta_map.items() if k not in fat}
+            tombs = {k: ps for k, ps in tomb_map.items() if k not in fat}
             try:
                 return self._commit_next(
-                    m, v, "compact", files, new_files, {"compacted": fat}, deltas=deltas
+                    m, v, "compact", files, new_files, {"compacted": fat},
+                    deltas=deltas, tombstones=tombs,
                 )
             except CommitConflict:
                 self._drop_attempt(commit_rel)

@@ -32,20 +32,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dvx.ops.textstats import fingerprint
+from dvx.ops.util import widen_partitions
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Keeper per exact-normalized-duplicate group: min doc_id wins.
     Returns (fp, keeper_id, n_dups)."""
     return (
-        docs.select(F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        widen_partitions(docs)
+        .select(F.col("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_dups"))
     )
 
 
 def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
-    """Word k-shingles of the normalized text: (doc_id, shingle)."""
+    """Word k-shingles of the normalized text: (doc_id, shingle).
+
+    The input is widened to cluster parallelism first: the tokenize +
+    slice + array_join pipeline is the measured cost center of every
+    shingle consumer, and a single-file parquet input would otherwise
+    run it on one core (dvx.ops.util.widen_partitions)."""
+    docs = widen_partitions(docs)
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
@@ -223,6 +231,7 @@ def near_dups_lsh(
 
     if dim is None:
         dim = _dim_of(emb, vec_col)
+    emb = widen_partitions(emb)  # signature dot products are per-row heavy
     bands = [hyperplanes(num_planes, dim, table=t) for t in range(num_tables)]
     entries = F.array(
         *[
@@ -275,6 +284,7 @@ def embedding_near_dups(
     oracle's list_cosine_similarity agrees."""
     from dvx.ops.similarity import cosine
 
+    emb = widen_partitions(emb)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -69,10 +69,17 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, rank, cos). Query side is broadcast;
     the corpus is scanned once — the right plan when |queries| << |corpus|.
     """
+    from dvx.ops.util import widen_partitions
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # widen the corpus: the per-pair cosine (zip_with + aggregate over
+    # the vector) is compute-heavy per row, and a single-file corpus
+    # otherwise scans as ONE partition (guide §2.5 input skew)
+    c = widen_partitions(emb).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
@@ -158,8 +165,11 @@ def lsh_ann(
     candidate if it collides in ANY table, so recall grows with tables
     while each table's bucket join stays pruned — the standard banding
     trade-off (P[candidate] = 1 - (1 - s^planes)^tables)."""
+    from dvx.ops.util import widen_partitions
+
     if dim is None:
         dim = _dim_of(emb, vec_col)
+    emb = widen_partitions(emb)  # per-row signature dot products
     bands = [hyperplanes(num_planes, dim, table=t) for t in range(num_tables)]
 
     def with_sigs(df: DataFrame, idname: str, vname: str) -> DataFrame:
@@ -207,9 +217,12 @@ def ivf_ann(
     """IVF-style multi-probe: query probes its own bucket plus the
     ``n_probes - 1`` Hamming-distance-1 neighbor buckets, widening recall
     without widening the corpus shuffle (corpus stays single-bucketed)."""
+    from dvx.ops.util import widen_partitions
+
     if dim is None:
         dim = _dim_of(emb, vec_col)
     planes = hyperplanes(num_planes, dim, table=0)
+    emb = widen_partitions(emb)  # per-row signature dot products
     c = emb.withColumn("sig", lsh_signature(F.col(vec_col), planes)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "sig"
     )

@@ -67,9 +67,15 @@ def lang_id(text: Column) -> Column:
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One row per document with all signals — single scan, codegen'd."""
+    """One row per document with all signals — single scan, codegen'd.
+
+    Widened to cluster parallelism first: the regex battery is heavy
+    per row and a single-file parquet input would otherwise evaluate it
+    on one core (dvx.ops.util.widen_partitions)."""
+    from dvx.ops.util import widen_partitions
+
     t = F.col(text_col)
-    return docs.select(
+    return widen_partitions(docs).select(
         "doc_id",
         ws_token_count(t).alias("ws_tokens"),
         lexer_token_count(t).alias("lex_tokens"),

@@ -181,11 +181,18 @@ def run_stream(
                 from concurrent.futures import ThreadPoolExecutor as _TPE
 
                 sats = list(vault.registry.satellites)
-                with _TPE(max_workers=max(1, len(sats))) as ex:
+                with _TPE(max_workers=max(1, 2 * len(sats))) as ex:
                     futs = [
                         ex.submit(
                             vault.table(s.name).compact_deltas, 1
                         )
+                        for s in sats
+                    ]
+                    # fold equality-delete tombstones left by stale
+                    # re-chains (lake.delete_keys_insert): history
+                    # serving reads revert to plain scans with pushdown
+                    futs += [
+                        ex.submit(vault.table(s.hist_name).compact_tombstones)
                         for s in sats
                     ]
                     for f in futs:

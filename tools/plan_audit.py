@@ -145,13 +145,15 @@ def main() -> None:
     s1 = sections[1][1]
     checks.append(
         (
-            "PIT winner pick is aggregate+hash-join, not a full-width sort",
-            "ShuffledHashJoin LeftSemi" in s1
-            and ("HashAggregate" in s1 or "SortAggregate" in s1)
-            and "Window" not in s1,
-            "narrow groupBy-max (struct max routes to SortAggregate — "
-            "sorts ~100B rows, not text) + shuffle_hash semi-join; no "
-            "full-width window sort",
+            "PIT winner pick is ONE map-side-combining aggregate (no semi-join, no window)",
+            ("HashAggregate" in s1 or "SortAggregate" in s1)
+            and "Window" not in s1
+            and "LeftSemi" not in s1,
+            "round-6 shape: a single groupBy-max over the ordered "
+            "(valid_from, src_seq, ...) struct replaces the old narrow "
+            "agg + shuffle_hash semi-join + guard agg (7 exchanges -> 1 "
+            "below the hub join, plans/r06/pit_frame_{before,after}.txt); "
+            "no full-width window sort",
         )
     )
     # codegen spans exist only on the EXECUTED plan (AQE final):
