@@ -872,7 +872,10 @@ def apply_batch(
                     else None
                 )
                 fut_counts = (
-                    ex.submit(_pooled, "dvx_merge_counts", "counts",
+                    # the counts job GATES the satellite start — run it
+                    # in the weighted critical pool so it never queues
+                    # behind the scan/hub stages
+                    ex.submit(_pooled, "dvx_critical", "counts",
                               _count_buckets)
                     if first_sat is not None
                     else None
