@@ -424,11 +424,14 @@ def _apply_satellite(
         # the near-ordered steady state (_stale=1 absent) the stale check
         # costs ZERO jobs — one fewer sequential job on the satellite
         # critical path (guide §2.4 / §1.2: per-batch fixed floor).
+        dec_schema = decisions.schema
         decisions.write.mode("overwrite").option(
             "compression", "snappy"
         ).partitionBy("_stale").parquet(spill_j)
         _mark("spill_decisions")
-        decisions = vault.spark.read.parquet(spill_j)
+        # explicit schema: the spill's shape is known, so the re-read
+        # skips the per-batch driver-side footer/partition inference job
+        decisions = vault.spark.read.schema(dec_schema).parquet(spill_j)
 
         if os.path.isdir(os.path.join(spill_j, "_stale=1")):
             stale_buckets = sorted(
@@ -655,9 +658,19 @@ def _apply_satellite(
             # attr pick, then re-collapse consecutive duplicate diffs and
             # recompute the valid_from/valid_to chain — the one-shot
             # semantics over everything ever seen for these keys
+            # repartition on the key FIRST: HashPartitioning(key) is a
+            # subset of the dedup agg's grouping cols, so the agg reuses
+            # this exchange, and the chain windows below (partitionBy
+            # key) need only a sort — the full-text version rows cross
+            # ONE exchange instead of two (guide §2.4: two operations
+            # keyed the same way share one exchange)
+            n_part = int(
+                vault.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
             allv = (
                 inc_re.unionByName(hist_re)
                 .unionByName(cur_re)
+                .repartition(n_part, F.col(key))
                 .groupBy(key, "ts", "seq", BUCKET_COL)
                 .agg(F.min(F.struct(*attr_cols)).alias("_s"))
                 .select(key, "ts", "seq", BUCKET_COL, "_s.*")
@@ -687,10 +700,12 @@ def _apply_satellite(
             # windows) from scratch (guide §1.2: don't compute things
             # twice; §5 localCheckpoint/materialize shared subtrees)
             spill_r = _spill_path(vault)
+            re_schema = re_sat.schema
             re_sat.write.mode("overwrite").option(
                 "compression", "snappy"
             ).parquet(spill_r)
-            re_sat = vault.spark.read.parquet(spill_r)
+            re_sat = vault.spark.read.schema(re_schema).parquet(spill_r)
+            _mark("rechain_spill")
             if use_eq:
                 # atomic splice: tombstone the stale keys' old history
                 # rows, append their re-chained ended versions. Re-running
@@ -711,6 +726,7 @@ def _apply_satellite(
                     .unionByName(re_sat.filter(F.col("valid_to").isNotNull()))
                 )
                 hist_tbl.replace_buckets(stale_buckets, new_hist, summary=summary)
+            _mark("hist_splice")
             re_current = re_sat.filter(F.col("valid_to").isNull())
 
         # ---- current-table apply: merge-on-read ----

@@ -269,7 +269,13 @@ class Vault:
 
     def create_all_tables(self) -> None:
         """Idempotent CREATE-IF-NOT-EXISTS for the whole vault
-        (RawVaultSchema.createAllTables pattern)."""
+        (RawVaultSchema.createAllTables pattern). Also warms the engine
+        (dvx.session.warm_start, once per session): vault creation is
+        the natural pre-ingest setup point, so the first micro-batch
+        does not pay Python-worker fork + codegen cold-start."""
+        from dvx.session import warm_start
+
+        warm_start(self.spark)
         for name, spec in self.tables.items():
             kwargs: dict = {}
             if "bucket_cols" in spec:

@@ -60,6 +60,86 @@ def _alloc_file() -> str:
     return path
 
 
+_WARMED: set[str] = set()
+
+
+def warm_start(spark: SparkSession) -> None:
+    """One-time engine warm-up (once per SparkSession): spawn the Python
+    worker pool and classload/JIT the hot operator machinery — Arrow
+    serialization, pandas-UDF and applyInPandas eval paths, whole-stage
+    codegen + Janino, the parquet writer (committer, snappy codec) —
+    with a tiny SYNTHETIC job, so the first real micro-batch does not
+    pay multi-second cold-start inside the streaming hot path.
+
+    Measured (sf0.1 bench, local[32]): batch 1 of the replay ran
+    ~15-19 s vs ~7 s steady state — prepare_spill 5.6 s vs 1.4 s and
+    the satellite's first staged write 13.5 s vs 2.6-3.2 s are almost
+    entirely worker fork + pandas import (32x) and first-use codegen /
+    writer classload, not data volume.
+
+    This reads NO input data and keeps NO results — it is
+    infrastructure warm-up (the local-mode analog of cluster executor
+    pre-warming), safe to call from any untimed setup path.
+    ``DVX_WARM_START=0`` disables it (A/B lever)."""
+    if os.environ.get("DVX_WARM_START", "1") == "0":
+        return
+    key = spark.sparkContext.applicationId
+    if key in _WARMED:
+        return
+    _WARMED.add(key)
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n = max(2, spark.sparkContext.defaultParallelism)
+
+    # real annotation objects (not strings): `from __future__ import
+    # annotations` above would leave pandas_udf's type-hint inference
+    # with an unresolvable "pd.Series" string
+    def _echo_fn(s):
+        return s
+
+    _echo_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _echo = F.pandas_udf(_echo_fn, "long")
+
+    # one partition per core so every worker slot forks its Python
+    # worker NOW (in parallel) instead of inside the first real batch
+    df = spark.range(0, n * 8, 1, n).select(
+        F.col("id"), F.pmod("id", F.lit(7)).alias("g"), _echo("id").alias("e")
+    )
+    w = Window.partitionBy("g").orderBy("id")
+    shaped = (
+        df.groupBy("g", "id")
+        .agg(F.min(F.struct("e")).alias("_s"))
+        .select("g", "id", "_s.e")
+        .withColumn("_lag", F.lag("id").over(w))
+        .withColumn(
+            "_rn",
+            F.sum(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="dvx_warm_", dir=_scratch_dir())
+    try:
+        # agg + window + snappy parquet write: the prepare/decision/write
+        # shapes of the CDC hot path (class-level warm-up; per-plan
+        # codegen is still compiled lazily, but Janino itself, the
+        # operator classes, and the write path dominate the cold cost)
+        shaped.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+        # grouped-map Arrow path (the fused bloom scan shape)
+        (
+            df.groupBy("g")
+            .applyInPandas(lambda p: p[["g"]].head(1), "g long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def get_spark(
     app_name: str = "dvx",
     master: str | None = None,
