@@ -98,17 +98,22 @@ def warm_start(spark: SparkSession) -> None:
 
     # real annotation objects (not strings): `from __future__ import
     # annotations` above would leave pandas_udf's type-hint inference
-    # with an unresolvable "pd.Series" string
+    # with an unresolvable "pd.Series" string. The UDF returns a STRUCT
+    # so the warm-up walks the same Arrow struct-serialization path as
+    # the fused hash UDF (dvx.hashing.registry_hashes), not just the
+    # scalar one.
     def _echo_fn(s):
-        return s
+        return pd.DataFrame({"a": s.astype("string"), "b": s.astype("string")})
 
-    _echo_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    _echo = F.pandas_udf(_echo_fn, "long")
+    _echo_fn.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    _echo = F.pandas_udf(_echo_fn, "a string, b string")
 
     # one partition per core so every worker slot forks its Python
     # worker NOW (in parallel) instead of inside the first real batch
     df = spark.range(0, n * 8, 1, n).select(
-        F.col("id"), F.pmod("id", F.lit(7)).alias("g"), _echo("id").alias("e")
+        F.col("id"),
+        F.pmod("id", F.lit(7)).alias("g"),
+        _echo("id").getField("a").alias("e"),
     )
     w = Window.partitionBy("g").orderBy("id")
     shaped = (
